@@ -1,0 +1,210 @@
+"""Vectorized prime-field arithmetic for F_p, p = 3·2^30 + 1, on TPU.
+
+TPU-native design notes
+-----------------------
+The reference implementation (`/root/reference/src/field.rs:8-211`) wraps a scalar
+Montgomery integer (`num_modular::MontgomeryInt<u32>`) — one element at a time on a
+CPU. Here the unit of work is a whole `uint32` array: every operation below is an
+elementwise VPU program over vectors of field elements, designed so XLA can fuse
+chains of them (butterflies, constraint evaluation, FRI folds) into single kernels.
+
+TPU has no 32×32→64-bit multiply, so the 64-bit products needed by Montgomery
+reduction are synthesized from 16-bit limb products, which stay inside native
+uint32 VPU ops (`_mul32_wide`). Representation:
+
+* **Montgomery form, R = 2^32.** An element ``a`` is stored as ``a·R mod p`` in a
+  ``uint32``. `mont_mul(x, y) = x·y·R^{-1} mod p` keeps the form closed under
+  multiplication. This mirrors the reference's representation (field.rs:8) so all
+  algebraic behavior — including `residue()` conversion at commit boundaries
+  (field.rs:41-43) — matches bit-for-bit.
+* Inversion is Fermat (`a^{p-2}`), fully vectorized: ~32 squarings over the whole
+  array instead of the reference's sequential per-element `Inv` (field.rs:206-211).
+  Montgomery's sequential batch-inversion trick is *not* used: it is a serial
+  dependency chain, which is the wrong shape for a vector unit.
+* `pow` takes a static Python exponent and unrolls square-and-multiply at trace
+  time — no data-dependent control flow under `jit`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Protocol field constants (reference: main.rs:13  `type F = Gf<3221225473>`)
+# ---------------------------------------------------------------------------
+
+P = 3221225473  # 3 * 2**30 + 1
+TWO_ADICITY = 30  # p - 1 = 3 * 2**30
+GENERATOR = 5  # smallest multiplicative generator (reference field.rs:52-86 finds 5)
+
+R = 1 << 32
+R_MOD_P = R % P  # 1073741823 == Montgomery form of 1
+R2_MOD_P = (R * R) % P  # to_mont multiplier
+# p' = -p^{-1} mod 2^32  (Montgomery magic constant)
+P_INV_NEG = (-pow(P, -1, R)) % R
+
+_U32 = jnp.uint32
+_MASK16 = jnp.uint32(0xFFFF)
+
+
+def _u32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=_U32)
+
+
+# ---------------------------------------------------------------------------
+# 32x32 -> 64 wide multiply out of 16-bit limb products (pure uint32 VPU ops)
+# ---------------------------------------------------------------------------
+
+def _mul32_wide(a, b):
+    """Return (hi, lo) of the full 64-bit product of two uint32 arrays.
+
+    All partial products fit in uint32:
+      a = ah·2^16 + al, b = bh·2^16 + bl
+      a·b = hh·2^32 + (lh + hl)·2^16 + ll
+    The carry column `t` is at most 3·(2^16 − 1) < 2^18 and the final `hi` sum is
+    provably < 2^32 (the true product is < 2^64), so nothing overflows.
+    """
+    ah = a >> 16
+    al = a & _MASK16
+    bh = b >> 16
+    bl = b & _MASK16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    t = (ll >> 16) + (lh & _MASK16) + (hl & _MASK16)
+    lo = (t << 16) | (ll & _MASK16)
+    hi = hh + (lh >> 16) + (hl >> 16) + (t >> 16)
+    return hi, lo
+
+
+def _mul32_hi(a, b):
+    """High 32 bits of the 64-bit product (lo discarded; XLA DCEs the rest)."""
+    hi, _ = _mul32_wide(a, b)
+    return hi
+
+
+# ---------------------------------------------------------------------------
+# Montgomery reduction / multiplication
+# ---------------------------------------------------------------------------
+
+def _mont_reduce(hi, lo):
+    """REDC: given t = hi·2^32 + lo < p·2^32, return t·R^{-1} mod p.
+
+    m = lo·p' mod 2^32 makes t + m·p divisible by 2^32; the low word of m·p is
+    exactly (2^32 − lo) mod 2^32, so its only effect is a carry of (lo != 0).
+    u = hi + hi(m·p) + carry can itself carry out of 32 bits (u < 2p but
+    2p > 2^32 for this p), handled via wraparound detection.
+    """
+    m = lo * jnp.uint32(P_INV_NEG)
+    mp_hi = _mul32_hi(m, jnp.uint32(P))
+    carry = (lo != 0).astype(_U32)
+    s1 = hi + mp_hi
+    c1 = s1 < hi
+    s2 = s1 + carry
+    c2 = s2 < s1
+    overflow = jnp.logical_or(c1, c2)
+    # If overflow: true u = s2 + 2^32 ≥ 2^32 > p, so subtract p once:
+    #   u − p  ≡  s2 + (2^32 − p)  (mod 2^32), and u − p < p so it fits.
+    reduced_ov = s2 + jnp.uint32(R - P)
+    reduced_no = jnp.where(s2 >= jnp.uint32(P), s2 - jnp.uint32(P), s2)
+    return jnp.where(overflow, reduced_ov, reduced_no)
+
+
+def mont_mul(a, b):
+    """Montgomery product a·b·R^{-1} mod p (both operands in Montgomery form)."""
+    hi, lo = _mul32_wide(a, b)
+    return _mont_reduce(hi, lo)
+
+
+def to_mont(a):
+    """Standard residue -> Montgomery form (a·R mod p)."""
+    return mont_mul(_u32(a), jnp.uint32(R2_MOD_P))
+
+
+def from_mont(a):
+    """Montgomery form -> standard residue (matches reference residue(), field.rs:41)."""
+    return _mont_reduce(jnp.zeros_like(a), a)
+
+
+# ---------------------------------------------------------------------------
+# Add / sub / neg (representation-agnostic: work in either form)
+# ---------------------------------------------------------------------------
+
+def add(a, b):
+    s = a + b
+    wrapped = s < a  # uint32 wraparound ⇒ true sum ≥ 2^32 > p
+    need_sub = jnp.logical_or(wrapped, s >= jnp.uint32(P))
+    return jnp.where(need_sub, s - jnp.uint32(P), s)
+
+
+def sub(a, b):
+    d = a - b
+    borrow = a < b
+    return jnp.where(borrow, d + jnp.uint32(P), d)
+
+
+def neg(a):
+    return jnp.where(a == 0, a, jnp.uint32(P) - a)
+
+
+# ---------------------------------------------------------------------------
+# Static-exponent pow / inverse (trace-time unrolled square-and-multiply)
+# ---------------------------------------------------------------------------
+
+def pow_static(a, e: int):
+    """a^e for a static Python int e ≥ 0, on Montgomery-form input/output."""
+    if e < 0:
+        raise ValueError("use inv() + pow_static for negative exponents")
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mont_mul(result, base)
+        e >>= 1
+        if e:
+            base = mont_mul(base, base)
+    if result is None:
+        return jnp.full_like(a, jnp.uint32(R_MOD_P))  # a^0 = 1 in Montgomery form
+    return result
+
+
+def inv(a):
+    """Fermat inverse a^{p-2}, vectorized (reference field.rs:206-211 semantics)."""
+    return pow_static(a, P - 2)
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact helpers (Python ints — protocol constants, twiddles, tests)
+# ---------------------------------------------------------------------------
+
+def host_pow(base: int, e: int, modulus: int = P) -> int:
+    return pow(base, e % (modulus - 1) if e >= 0 else e, modulus)
+
+
+@functools.lru_cache(maxsize=None)
+def subgroup_generator(order: int) -> int:
+    """Generator of the order-`order` subgroup, derived from GENERATOR=5 exactly
+    as the reference does (prover.rs:48-49: 5^((p-1)/order))."""
+    assert (P - 1) % order == 0, f"no subgroup of order {order}"
+    return pow(GENERATOR, (P - 1) // order, P)
+
+
+def host_powers(base: int, count: int, start: int = 1) -> np.ndarray:
+    """[start, start·base, start·base², …] as uint32 (exact Python ints)."""
+    out = np.empty(count, dtype=np.uint32)
+    acc = start % P
+    for i in range(count):
+        out[i] = acc
+        acc = (acc * base) % P
+    return out
+
+
+def host_to_mont(arr: np.ndarray) -> np.ndarray:
+    """Exact host-side conversion to Montgomery form."""
+    return ((arr.astype(np.uint64) * np.uint64(R_MOD_P)) % np.uint64(P)).astype(
+        np.uint32
+    )
