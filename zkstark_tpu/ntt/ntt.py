@@ -1,0 +1,139 @@
+"""Radix-2 NTT/INTT over F_p on TPU — the workhorse replacing the reference's
+polynomial algebra.
+
+The reference interpolates with an O(n³) Lagrange (polynomial.rs:337-383) and
+evaluates with a fresh pow per term (polynomial.rs:49-57). Here both collapse
+into O(n log n) number-theoretic transforms over the 2^30-smooth multiplicative
+subgroups of F_p (p − 1 = 3·2^30, so power-of-two domains up to 2^30 exist —
+SURVEY.md §7).
+
+TPU-native shape of the algorithm:
+  * one bit-reversal gather, then log2(n) fully-vectorized butterfly passes —
+    each pass is `(n/m, m)`-shaped elementwise work (add/sub + one Montgomery
+    multiply against a per-stage twiddle row) that XLA fuses into a single
+    VPU kernel; no data-dependent control flow, all shapes static;
+  * twiddle factors are protocol constants computed exactly on the host with
+    Python bigints and cached per (size, root) in Montgomery form;
+  * evaluation on the coset `offset·⟨h⟩` (prover.rs:69: offset = 5) is a
+    pointwise pre-scale by `offset^j` followed by a plain NTT.
+
+Everything operates on Montgomery-form uint32 arrays (see field.fp).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from zkstark_tpu.field import fp
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    """Permutation such that perm[i] = bit-reverse of i in log2(n) bits."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@dataclass(frozen=True)
+class NttPlan:
+    """Precomputed constants for a size-n transform with root ω (order n)."""
+
+    n: int
+    root: int  # standard-form n-th root of unity (Python int)
+    bitrev: np.ndarray  # uint32[n] bit-reversal permutation
+    twiddles: tuple  # per-stage uint32 Montgomery twiddle rows, sizes 1,2,4,…,n/2
+    scale_mont: int | None  # Montgomery-form n^{-1} for inverse transforms
+
+
+@functools.lru_cache(maxsize=None)
+def make_plan(n: int, root: int, inverse: bool = False) -> NttPlan:
+    assert n & (n - 1) == 0 and n >= 2, "NTT size must be a power of two"
+    assert pow(root, n, fp.P) == 1 and pow(root, n // 2, fp.P) != 1, (
+        "root must have exact order n"
+    )
+    w = pow(root, fp.P - 2, fp.P) if inverse else root
+    stages = []
+    for s in range(1, n.bit_length()):
+        half = 1 << (s - 1)
+        wm = pow(w, n >> s, fp.P)
+        stages.append(
+            jnp.asarray(fp.host_to_mont(fp.host_powers(wm, half)), dtype=jnp.uint32)
+        )
+    scale = None
+    if inverse:
+        n_inv = pow(n, fp.P - 2, fp.P)
+        scale = int(fp.host_to_mont(np.array([n_inv], dtype=np.uint32))[0])
+    return NttPlan(
+        n=n,
+        root=root,
+        bitrev=jnp.asarray(bit_reverse_indices(n)),
+        twiddles=tuple(stages),
+        scale_mont=scale,
+    )
+
+
+def forward_plan(n: int) -> NttPlan:
+    """Plan evaluating at ⟨h⟩ in natural order, h = 5^((p-1)/n) (prover.rs:48-57)."""
+    return make_plan(n, fp.subgroup_generator(n), inverse=False)
+
+
+def inverse_plan(n: int) -> NttPlan:
+    return make_plan(n, fp.subgroup_generator(n), inverse=True)
+
+
+def _butterflies(x, plan: NttPlan):
+    n = plan.n
+    for stage_tw in plan.twiddles:
+        half = stage_tw.shape[0]
+        m = half * 2
+        v = x.reshape(n // m, m)
+        e = v[:, :half]
+        o = fp.mont_mul(v[:, half:], stage_tw[None, :])
+        x = jnp.concatenate([fp.add(e, o), fp.sub(e, o)], axis=1).reshape(n)
+    return x
+
+
+def ntt(x, plan: NttPlan):
+    """X[k] = Σ_j x[j]·ω^{jk} (Montgomery-form in/out, natural order in/out)."""
+    x = jnp.take(x, plan.bitrev, axis=0)
+    return _butterflies(x, plan)
+
+
+def intt(x, plan: NttPlan):
+    """Inverse transform: x[j] = n^{-1}·Σ_k X[k]·ω^{-jk}; plan must be inverse."""
+    assert plan.scale_mont is not None, "intt needs a plan built with inverse=True"
+    y = ntt(x, plan)
+    return fp.mont_mul(y, jnp.uint32(plan.scale_mont))
+
+
+@functools.lru_cache(maxsize=None)
+def _offset_powers_mont(n: int, offset: int, invert: bool) -> jnp.ndarray:
+    o = pow(offset, fp.P - 2, fp.P) if invert else offset % fp.P
+    return jnp.asarray(fp.host_to_mont(fp.host_powers(o, n)), dtype=jnp.uint32)
+
+
+def coset_ntt(coeffs, n: int, offset: int):
+    """Evaluate the polynomial with `coeffs` (len ≤ n, Montgomery form) on the
+    coset {offset·h^i} in natural order — the reference's f_domain evaluation
+    (prover.rs:69-70) done as one pre-scale + NTT."""
+    k = coeffs.shape[0]
+    if k < n:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros(n - k, dtype=jnp.uint32)], axis=0
+        )
+    scaled = fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=False))
+    return ntt(scaled, forward_plan(n))
+
+
+def coset_intt(evals, offset: int):
+    """Inverse of coset_ntt: recover coefficients from coset evaluations."""
+    n = evals.shape[0]
+    coeffs = intt(evals, inverse_plan(n))
+    return fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=True))
