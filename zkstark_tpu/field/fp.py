@@ -177,6 +177,21 @@ def inv(a):
     return pow_static(a, P - 2)
 
 
+def device_powers(base: int, n: int) -> jnp.ndarray:
+    """[1, base, base², …, base^{n-1}] in Montgomery form, built on device by
+    log-doubling (log2(n) concats of mont_muls) — O(n log n) work but only
+    O(log n) dispatches, so it scales to 2^24-point domains where a host-side
+    sequential product would serialize."""
+    assert n & (n - 1) == 0
+    arr = jnp.full((1,), jnp.uint32(R_MOD_P))
+    length = 1
+    while length < n:
+        step = jnp.uint32(host_to_mont(np.array([pow(base, length, P)], np.uint32))[0])
+        arr = jnp.concatenate([arr, mont_mul(arr, step)], axis=0)
+        length *= 2
+    return arr
+
+
 # ---------------------------------------------------------------------------
 # Host-side exact helpers (Python ints — protocol constants, twiddles, tests)
 # ---------------------------------------------------------------------------

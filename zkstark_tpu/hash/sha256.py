@@ -49,24 +49,45 @@ def _rotr(x, r: int):
 
 
 def compress(state, block):
-    """One SHA-256 compression: state (..., 8), block (..., 16) uint32 arrays."""
-    w = [block[..., t] for t in range(16)]
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
-        w.append(w[t - 16] + s0 + w[t - 7] + s1)
+    """One SHA-256 compression: state (..., 8), block (..., 16) uint32 arrays.
 
-    a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
-    for t in range(64):
+    The 48 schedule steps and 64 rounds run as `lax.fori_loop`s (compact XLA
+    graph, static trip counts); each iteration is a handful of vector ops over
+    the whole batch, so the loop overhead amortizes across lanes."""
+    import jax
+
+    w0 = jnp.concatenate(
+        [block, jnp.zeros(block.shape[:-1] + (48,), dtype=jnp.uint32)], axis=-1
+    )
+
+    def sched(t, w):
+        w15 = jax.lax.dynamic_index_in_dim(w, t - 15, axis=-1, keepdims=False)
+        w2 = jax.lax.dynamic_index_in_dim(w, t - 2, axis=-1, keepdims=False)
+        w16 = jax.lax.dynamic_index_in_dim(w, t - 16, axis=-1, keepdims=False)
+        w7 = jax.lax.dynamic_index_in_dim(w, t - 7, axis=-1, keepdims=False)
+        s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> 3)
+        s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> 10)
+        nxt = w16 + s0 + w7 + s1
+        return jax.lax.dynamic_update_index_in_dim(w, nxt, t, axis=-1)
+
+    w = jax.lax.fori_loop(16, 64, sched, w0)
+    k_arr = jnp.asarray(_K)
+
+    def round_fn(t, carry):
+        a, b, c, d, e, f, g, h = carry
+        wt = jax.lax.dynamic_index_in_dim(w, t, axis=-1, keepdims=False)
+        kt = jax.lax.dynamic_index_in_dim(k_arr, t, axis=0, keepdims=False)
         big_s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + big_s1 + ch + jnp.uint32(int(_K[t])) + w[t]
+        t1 = h + big_s1 + ch + kt + wt
         big_s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = big_s0 + maj
-        a, b, c, d, e, f, g, h = t1 + t2, a, b, c, d + t1, e, f, g
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
-    return out + state
+        return (t1 + t2, a, b, c, d + t1, e, f, g)
+
+    init = tuple(state[..., i] for i in range(8))
+    out = jax.lax.fori_loop(0, 64, round_fn, init)
+    return jnp.stack(out, axis=-1) + state
 
 
 def leaf_hash(values):

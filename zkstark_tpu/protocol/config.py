@@ -1,0 +1,64 @@
+"""Protocol configuration.
+
+The reference hardcodes every constant as a literal scattered across files
+(SURVEY.md §5 config): trace length 1023 + secret (prover.rs:32-39), generator
+exponents (prover.rs:48-49), domain 8192 / blowup 8, 10 FRI rounds
+(prover.rs:198), query range 8176 (prover.rs:263), boundary values duplicated
+in the verifier (proof.rs:69-70). Here they live in one frozen dataclass; the
+stark-101 instance is the golden preset. Mesh/topology configuration is kept
+separate (parallel/mesh.py) so the same proof is byte-identical at any
+sharding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from zkstark_tpu.field import fp
+
+
+@dataclass(frozen=True)
+class StarkConfig:
+    trace_len: int = 1023  # number of trace steps (subgroup size − 1)
+    blowup: int = 8
+    coset_offset: int = 5  # prover.rs:69: evaluation coset = offset·⟨h⟩
+    boundary_first: int = 1  # public input a[0] (proof.rs:69)
+    boundary_last: int = 2338775057  # public output a[trace_len−1] (proof.rs:70)
+
+    def __post_init__(self):
+        n = self.trace_domain
+        assert n & (n - 1) == 0, "trace domain must be a power of two"
+        assert self.blowup & (self.blowup - 1) == 0, "blowup must be a power of two"
+        assert (fp.P - 1) % self.eval_domain == 0, "domain too large for field"
+
+    @property
+    def trace_domain(self) -> int:
+        """Size of the trace subgroup ⟨g⟩ (reference: 1024, prover.rs:52)."""
+        return self.trace_len + 1
+
+    @property
+    def eval_domain(self) -> int:
+        """Size of the evaluation coset (reference: 8192, prover.rs:53)."""
+        return self.trace_domain * self.blowup
+
+    @property
+    def fri_rounds(self) -> int:
+        """Folds until degree 0: log2(trace_domain) (reference: 10, prover.rs:198)."""
+        return self.trace_domain.bit_length() - 1
+
+    @property
+    def query_range(self) -> int:
+        """Query index range: domain − 2·blowup (reference: 8176, prover.rs:263)."""
+        return self.eval_domain - 2 * self.blowup
+
+    @property
+    def trace_generator(self) -> int:
+        return fp.subgroup_generator(self.trace_domain)
+
+    @property
+    def domain_generator(self) -> int:
+        return fp.subgroup_generator(self.eval_domain)
+
+
+STARK101 = StarkConfig()
+STARK101_SECRET = 3141592  # the reference's baked-in witness (prover.rs:34)
