@@ -11,3 +11,19 @@ of scalar SHA-256).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the proving pipeline compiles ~15 programs
+# (phases + per-shape FRI folds); caching them across processes turns a
+# multi-minute cold start into milliseconds on every run after the first.
+_cache_dir = _os.environ.get(
+    "ZKSTARK_JAX_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is an optimization only — never fail import over it
+    pass

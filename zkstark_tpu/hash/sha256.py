@@ -56,9 +56,12 @@ def compress(state, block):
     the whole batch, so the loop overhead amortizes across lanes."""
     import jax
 
-    w0 = jnp.concatenate(
-        [block, jnp.zeros(block.shape[:-1] + (48,), dtype=jnp.uint32)], axis=-1
-    )
+    # Derive the zero-fill and state init from `block` (value-preserving &0)
+    # so every fori_loop carry has the same device-varying type under
+    # shard_map — mixing replicated constants into the carry is a type error.
+    zeros48 = jnp.repeat(block & jnp.uint32(0), 3, axis=-1)
+    w0 = jnp.concatenate([block, zeros48], axis=-1)
+    state = state + (block[..., :8] & jnp.uint32(0))
 
     def sched(t, w):
         w15 = jax.lax.dynamic_index_in_dim(w, t - 15, axis=-1, keepdims=False)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,13 @@ class NttPlan:
 
 @functools.lru_cache(maxsize=None)
 def make_plan(n: int, root: int, inverse: bool = False) -> NttPlan:
+    # Constants must materialize eagerly even if first requested inside a jit
+    # trace — caching a tracer would leak it into later traces.
+    with jax.ensure_compile_time_eval():
+        return _make_plan(n, root, inverse)
+
+
+def _make_plan(n: int, root: int, inverse: bool) -> NttPlan:
     assert n & (n - 1) == 0 and n >= 2, "NTT size must be a power of two"
     assert pow(root, n, fp.P) == 1 and pow(root, n // 2, fp.P) != 1, (
         "root must have exact order n"
@@ -90,19 +98,24 @@ def inverse_plan(n: int) -> NttPlan:
 
 def _butterflies(x, plan: NttPlan):
     n = plan.n
+    lead = x.shape[:-1]
     for stage_tw in plan.twiddles:
         half = stage_tw.shape[0]
         m = half * 2
-        v = x.reshape(n // m, m)
-        e = v[:, :half]
-        o = fp.mont_mul(v[:, half:], stage_tw[None, :])
-        x = jnp.concatenate([fp.add(e, o), fp.sub(e, o)], axis=1).reshape(n)
+        v = x.reshape(lead + (n // m, m))
+        e = v[..., :half]
+        o = fp.mont_mul(v[..., half:], stage_tw)
+        x = jnp.concatenate([fp.add(e, o), fp.sub(e, o)], axis=-1).reshape(
+            lead + (n,)
+        )
     return x
 
 
 def ntt(x, plan: NttPlan):
-    """X[k] = Σ_j x[j]·ω^{jk} (Montgomery-form in/out, natural order in/out)."""
-    x = jnp.take(x, plan.bitrev, axis=0)
+    """X[k] = Σ_j x[j]·ω^{jk} along the last axis (Montgomery-form in/out,
+    natural order in/out); leading axes are independent batch transforms."""
+    assert x.shape[-1] == plan.n
+    x = jnp.take(x, plan.bitrev, axis=-1)
     return _butterflies(x, plan)
 
 
@@ -115,18 +128,20 @@ def intt(x, plan: NttPlan):
 
 @functools.lru_cache(maxsize=None)
 def _offset_powers_mont(n: int, offset: int, invert: bool) -> jnp.ndarray:
-    o = pow(offset, fp.P - 2, fp.P) if invert else offset % fp.P
-    return jnp.asarray(fp.host_to_mont(fp.host_powers(o, n)), dtype=jnp.uint32)
+    with jax.ensure_compile_time_eval():
+        o = pow(offset, fp.P - 2, fp.P) if invert else offset % fp.P
+        return jnp.asarray(fp.host_to_mont(fp.host_powers(o, n)), dtype=jnp.uint32)
 
 
 def coset_ntt(coeffs, n: int, offset: int):
     """Evaluate the polynomial with `coeffs` (len ≤ n, Montgomery form) on the
     coset {offset·h^i} in natural order — the reference's f_domain evaluation
     (prover.rs:69-70) done as one pre-scale + NTT."""
-    k = coeffs.shape[0]
+    k = coeffs.shape[-1]
     if k < n:
         coeffs = jnp.concatenate(
-            [coeffs, jnp.zeros(n - k, dtype=jnp.uint32)], axis=0
+            [coeffs, jnp.zeros(coeffs.shape[:-1] + (n - k,), dtype=jnp.uint32)],
+            axis=-1,
         )
     scaled = fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=False))
     return ntt(scaled, forward_plan(n))
@@ -134,6 +149,6 @@ def coset_ntt(coeffs, n: int, offset: int):
 
 def coset_intt(evals, offset: int):
     """Inverse of coset_ntt: recover coefficients from coset evaluations."""
-    n = evals.shape[0]
+    n = evals.shape[-1]
     coeffs = intt(evals, inverse_plan(n))
     return fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=True))

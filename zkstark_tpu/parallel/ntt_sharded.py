@@ -1,0 +1,116 @@
+"""Six-step (transpose) NTT — the sharded large-domain transform.
+
+A flat radix-2 NTT sharded over a device mesh would cross the shard boundary
+in its last log2(S) butterfly stages, costing one collective per stage. The
+six-step factorization n = n1·n2 (SURVEY.md §2 TP row / §5 long-context)
+restructures the transform so ALL inter-device traffic collapses into
+transposes, which XLA GSPMD lowers to `all_to_all` on the ICI mesh:
+
+    1. transpose (n1, n2) → (n2, n1)                 [all_to_all]
+    2. n2 independent row NTTs of size n1 (root ω^{n2})  [local]
+    3. twiddle by ω^{j2·k1}                           [local]
+    4. transpose back → (n1, n2)                      [all_to_all]
+    5. n1 independent row NTTs of size n2 (root ω^{n1})  [local]
+    6. transpose → natural-order output               [all_to_all]
+
+Identity: X[k1 + n1·k2] = Σ_{j2} ω^{j2·k1} (ω^{n1})^{j2·k2} Σ_{j1}
+x[j1·n2 + j2] (ω^{n2})^{j1·k1} — exactly Σ_j x[j] ω^{jk}, so the result is
+bit-identical to ntt.ntt() at any mesh size (shard-invariance is tested on a
+virtual 8-device CPU mesh).
+
+Row NTTs reuse the batched radix-2 kernel (ntt.ntt on the last axis); the
+sharding constraints between steps are the whole distribution story — the
+scaling-book recipe: annotate, let XLA insert collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from zkstark_tpu import ntt
+from zkstark_tpu.field import fp
+from zkstark_tpu.parallel.mesh import row_sharding, vec_sharding
+
+
+def _vandermonde_mont(bases, n: int):
+    """V[i, k] = bases[i]^k (Montgomery form), built by column log-doubling."""
+    v = jnp.full(bases.shape + (1,), jnp.uint32(fp.R_MOD_P))
+    bm = bases
+    while v.shape[-1] < n:
+        step = min(v.shape[-1], n - v.shape[-1])
+        v = jnp.concatenate([v, fp.mont_mul(v[..., :step], bm[..., None])], axis=-1)
+        bm = fp.mont_mul(bm, bm)
+    return v
+
+
+@functools.lru_cache(maxsize=None)
+def sixstep_constants(n: int, root: int, inverse: bool):
+    """Plans + twiddle matrix for n = n1·n2 (balanced split, n1 ≥ n2)."""
+    with jax.ensure_compile_time_eval():
+        return jax.jit(_sixstep_constants_impl, static_argnums=(0, 1, 2))(
+            n, root, inverse
+        )
+
+
+def _sixstep_constants_impl(n: int, root: int, inverse: bool):
+    bits = n.bit_length() - 1
+    b1 = (bits + 1) // 2
+    n1, n2 = 1 << b1, 1 << (bits - b1)
+    w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
+    # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
+    inner = ntt.make_plan(n1, pow(w, n2, fp.P))
+    outer = ntt.make_plan(n2, pow(w, n1, fp.P))
+    tw = _vandermonde_mont(fp.device_powers(w, n2), n1)  # (n2, n1): ω^{j2·k1}
+    scale = None
+    if inverse:
+        import numpy as np
+
+        n_inv = pow(n, fp.P - 2, fp.P)
+        scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
+    return n1, n2, inner, outer, tw, scale
+
+
+def ntt_sixstep(
+    x,
+    n: int,
+    root: int,
+    mesh: Mesh | None = None,
+    inverse: bool = False,
+):
+    """Size-n transform of a flat Montgomery vector, natural order in/out,
+    bit-identical to ntt.ntt / ntt.intt, sharded over `mesh` when given."""
+    n1, n2, inner, outer, tw, scale = sixstep_constants(n, root, inverse)
+
+    def constrain(arr, ndim):
+        if mesh is not None:
+            arr = jax.lax.with_sharding_constraint(
+                arr, row_sharding(mesh, ndim) if ndim > 1 else vec_sharding(mesh)
+            )
+        return arr
+
+    xm = constrain(x.reshape(n1, n2), 2)
+    xt = constrain(xm.T, 2)  # all_to_all
+    a = ntt.ntt(xt, inner)  # local row NTTs (n2 rows of length n1)
+    a = fp.mont_mul(a, tw)
+    b = constrain(a.T, 2)  # all_to_all
+    c = ntt.ntt(b, outer)  # local row NTTs (n1 rows of length n2)
+    out = constrain(c.T, 2).reshape(n)  # final transpose → natural order
+    out = constrain(out, 1)
+    if inverse:
+        out = fp.mont_mul(out, jnp.uint32(scale))
+    return out
+
+
+def coset_ntt_sixstep(coeffs, n: int, offset: int, mesh: Mesh | None = None):
+    """Sharded equivalent of ntt.coset_ntt (LDE onto offset·⟨h⟩)."""
+    k = coeffs.shape[-1]
+    if k < n:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros(n - k, dtype=jnp.uint32)], axis=-1
+        )
+    scaled = fp.mont_mul(coeffs, fp.device_powers(offset, n))
+    return ntt_sixstep(scaled, n, fp.subgroup_generator(n), mesh=mesh)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,11 @@ def _endpoint_basis(n: int):
     v = INTT(e_{n-1}) has v[j] = n^{-1}·g^{-(n-1)j}; we need the full vector
     (Montgomery form, device) and 1/v[n-1] (to solve for the free trace value).
     """
+    with jax.ensure_compile_time_eval():
+        return _endpoint_basis_impl(n)
+
+
+def _endpoint_basis_impl(n: int):
     g = fp.subgroup_generator(n)
     g_inv = pow(g, fp.P - 2, fp.P)
     n_inv = pow(n, fp.P - 2, fp.P)

@@ -48,6 +48,13 @@ def composition_constants(cfg: StarkConfig):
     reference's exact polynomial divisions (no remainder, prover.rs:148-151)
     equal these pointwise quotients.
     """
+    # jitted: one cached XLA program instead of hundreds of eager dispatches
+    # (each eager op costs a compile round trip on a remote-compile backend).
+    with jax.ensure_compile_time_eval():
+        return jax.jit(_composition_constants_impl, static_argnums=0)(cfg)
+
+
+def _composition_constants_impl(cfg: StarkConfig):
     n, d, o = cfg.trace_domain, cfg.eval_domain, cfg.coset_offset
     g = cfg.trace_generator
     h = cfg.domain_generator
@@ -83,6 +90,11 @@ def fri_layer_constants(cfg: StarkConfig, layer: int):
 
     Layer-k domain is {offset^{2^k}·(h^{2^k})^j}; we need 1/x_j for j < m/2
     plus the constant 1/2."""
+    with jax.ensure_compile_time_eval():
+        return jax.jit(_fri_layer_constants_impl, static_argnums=(0, 1))(cfg, layer)
+
+
+def _fri_layer_constants_impl(cfg: StarkConfig, layer: int):
     d = cfg.eval_domain >> layer
     base = pow(cfg.domain_generator, 1 << layer, fp.P)
     off = pow(cfg.coset_offset, 1 << layer, fp.P)
@@ -208,16 +220,22 @@ def prove(
     channel.commit_u32(free_term)
 
     # ---- Phase 4: decommit one query (prover.rs:256-289) ----
+    # One bulk device→host transfer for everything decommitment needs (~1 MB);
+    # per-element fetches would cost hundreds of host round trips.
+    f_res_h, f_levels_h, layer_res_h, layer_levels_h = jax.device_get(
+        (f_res, f_tree.levels, layer_res, [t.levels for t in layer_trees])
+    )
+    f_tree_h = merkle.MerkleTree(levels=f_levels_h)
+    trees_h = [merkle.MerkleTree(levels=lv) for lv in layer_levels_h]
+
     x = channel.get_u32() % cfg.query_range
     b = cfg.blowup
     for idx in (x, x + b, x + 2 * b):
         channel.commit_bytes(
-            bincode.ser_opening(int(np.asarray(f_res[idx])), f_tree.auth_path(idx))
+            bincode.ser_opening(int(f_res_h[idx]), f_tree_h.auth_path(idx))
         )
     channel.commit_bytes(
-        bincode.ser_opening(
-            int(np.asarray(layer_res[0][x])), layer_trees[0].auth_path(x)
-        )
+        bincode.ser_opening(int(layer_res_h[0][x]), trees_h[0].auth_path(x))
     )
     for layer in range(cfg.fri_rounds):
         size = cfg.eval_domain >> layer
@@ -225,15 +243,15 @@ def prove(
         nxi = (xi + size // 2) % size
         channel.commit_bytes(
             bincode.ser_fri_opening(
-                int(np.asarray(layer_res[layer][xi])),
-                int(np.asarray(layer_res[layer][nxi])),
-                layer_trees[layer].auth_path(xi),
-                layer_trees[layer].auth_path(nxi),
+                int(layer_res_h[layer][xi]),
+                int(layer_res_h[layer][nxi]),
+                trees_h[layer].auth_path(xi),
+                trees_h[layer].auth_path(nxi),
             )
         )
 
-    art.f_res, art.f_tree = f_res, f_tree
-    art.layer_res, art.layer_trees = layer_res, layer_trees
+    art.f_res, art.f_tree = f_res_h, f_tree_h
+    art.layer_res, art.layer_trees = layer_res_h, trees_h
     art.query_index = x
 
     state, data = channel.finalize()
