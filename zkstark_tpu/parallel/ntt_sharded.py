@@ -51,27 +51,25 @@ def _vandermonde_mont(bases, n: int):
 def sixstep_constants(n: int, root: int, inverse: bool):
     """Plans + twiddle matrix for n = n1·n2 (balanced split, n1 ≥ n2)."""
     with jax.ensure_compile_time_eval():
-        return jax.jit(_sixstep_constants_impl, static_argnums=(0, 1, 2))(
-            n, root, inverse
-        )
+        bits = n.bit_length() - 1
+        b1 = (bits + 1) // 2
+        n1, n2 = 1 << b1, 1 << (bits - b1)
+        w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
+        # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
+        inner = ntt.make_plan(n1, pow(w, n2, fp.P))
+        outer = ntt.make_plan(n2, pow(w, n1, fp.P))
+        # twiddle matrix (n2, n1): ω^{j2·k1} — one jitted program, not a
+        # dispatch per doubling step
+        tw = jax.jit(
+            lambda: _vandermonde_mont(fp.device_powers(w, n2), n1)
+        )()
+        scale = None
+        if inverse:
+            import numpy as np
 
-
-def _sixstep_constants_impl(n: int, root: int, inverse: bool):
-    bits = n.bit_length() - 1
-    b1 = (bits + 1) // 2
-    n1, n2 = 1 << b1, 1 << (bits - b1)
-    w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
-    # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
-    inner = ntt.make_plan(n1, pow(w, n2, fp.P))
-    outer = ntt.make_plan(n2, pow(w, n1, fp.P))
-    tw = _vandermonde_mont(fp.device_powers(w, n2), n1)  # (n2, n1): ω^{j2·k1}
-    scale = None
-    if inverse:
-        import numpy as np
-
-        n_inv = pow(n, fp.P - 2, fp.P)
-        scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
-    return n1, n2, inner, outer, tw, scale
+            n_inv = pow(n, fp.P - 2, fp.P)
+            scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
+        return n1, n2, inner, outer, tw, scale
 
 
 def ntt_sixstep(
