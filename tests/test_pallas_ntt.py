@@ -1,0 +1,83 @@
+"""Four-step Pallas NTT vs the radix-2 jnp path — bit-exact.
+
+The column-kernel body runs via ops.testing.emulate_kernel with `pltpu.roll`
+patched to `jnp.roll` (identical semantics); the four-step composition is then
+checked end-to-end through the same emulation. Exact field arithmetic means
+equality must hold to the bit.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkstark_tpu.field import fp
+from zkstark_tpu.ntt import ntt
+from zkstark_tpu.ops import ntt_kernel, testing
+
+
+@pytest.fixture(autouse=True)
+def jnp_roll(monkeypatch):
+    monkeypatch.setattr(ntt_kernel, "_roll", jnp.roll)
+
+
+def _rand_mont(n, seed=7):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, fp.P, n, dtype=np.uint64).astype(np.uint32)
+    return jnp.asarray(fp.host_to_mont(vals))
+
+
+def _jnp_ntt(x, plan):
+    """The pure radix-2 path, bypassing the pallas dispatch."""
+    y = jnp.take(x, plan.bitrev, axis=-1)
+    return ntt._butterflies(y, plan)
+
+
+def _emulated_fourstep(x, n, w, inverse_scale=None):
+    n1, n2, tw1, tw2, br1, br2, t = ntt_kernel._fourstep_constants(
+        n, w, inverse_scale
+    )
+    xb = jnp.take(x.reshape(n1, n2), br1, axis=0)
+    a = testing.emulate_kernel(
+        ntt_kernel._ntt_cols_kernel, (n1, n2), jnp.uint32, xb, tw1
+    )
+    b = fp.mont_mul(a, t)
+    bt = jnp.take(b.T, br2, axis=0)
+    d = testing.emulate_kernel(
+        ntt_kernel._ntt_cols_kernel, (n2, n1), jnp.uint32, bt, tw2
+    )
+    return d.reshape(n)
+
+
+def test_cols_kernel_single_transform():
+    """(m, lanes) column transforms == batched radix-2 row transforms."""
+    m, lanes = 512, 128
+    x = _rand_mont(m * lanes).reshape(m, lanes)
+    plan = ntt.forward_plan(m)
+    tw = jnp.asarray(ntt_kernel._stage_twiddle_table(m, plan.root))
+    xb = jnp.take(x, jnp.asarray(ntt.bit_reverse_indices(m)), axis=0)
+    got = testing.emulate_kernel(
+        ntt_kernel._ntt_cols_kernel, (m, lanes), jnp.uint32, xb, tw
+    )
+    want = ntt.ntt(x.T, plan).T  # row transforms of the transpose
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("n", [1 << 14, 1 << 16])
+def test_fourstep_matches_radix2(n):
+    x = _rand_mont(n)
+    plan = ntt.forward_plan(n)
+    got = _emulated_fourstep(x, n, plan.root)
+    want = _jnp_ntt(x, plan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fourstep_inverse_roundtrip():
+    n = 1 << 14
+    x = _rand_mont(n)
+    fwd = ntt.forward_plan(n)
+    inv = ntt.inverse_plan(n)
+    y = _emulated_fourstep(x, n, fwd.root)
+    back = _emulated_fourstep(
+        y, n, pow(fwd.root, fp.P - 2, fp.P), inverse_scale=inv.scale_mont
+    )
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

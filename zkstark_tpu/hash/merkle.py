@@ -26,10 +26,22 @@ def build_levels(values):
     Returns [leaf_hashes (n,8), …, root (1,8)] — still on device."""
     n = values.shape[0]
     assert n & (n - 1) == 0 and n >= 1
+    from zkstark_tpu import ops
+
+    use_pallas = ops.pallas_enabled()
+    if use_pallas:
+        from zkstark_tpu.ops import sha256_kernel
+
     level = sha256.leaf_hash(values)
     levels = [level]
     while level.shape[0] > 1:
-        level = sha256.node_hash(level[0::2], level[1::2])
+        k = level.shape[0] // 2  # number of parent nodes
+        if use_pallas and k >= sha256_kernel.MIN_BATCH and k % sha256_kernel.MIN_BATCH == 0:
+            # adjacent digest rows of (n, 8) are exactly the left‖right
+            # 16-word node message — one reshape, no gathers
+            level = sha256_kernel.node_hash_pairs(level.reshape(k, 16))
+        else:
+            level = sha256.node_hash(level[0::2], level[1::2])
         levels.append(level)
     return levels
 

@@ -97,8 +97,17 @@ def leaf_hash(values):
     """SHA-256 of the 4-byte big-endian encoding of each uint32 value.
 
     Matches merkle.rs:30-34 (`hasher.update(v.to_be_bytes())`): one padded
-    block [v, 0x80000000, 0×13, bitlen=32]. values: (N,) uint32 → (N, 8)."""
+    block [v, 0x80000000, 0×13, bitlen=32]. values: (N,) uint32 → (N, 8).
+
+    Large batches route to the fused Pallas kernel (ops/sha256_kernel.py)."""
+    from zkstark_tpu import ops
+
     n = values.shape[0]
+    if ops.pallas_enabled():
+        from zkstark_tpu.ops import sha256_kernel
+
+        if n >= sha256_kernel.MIN_BATCH and n % sha256_kernel.MIN_BATCH == 0:
+            return sha256_kernel.leaf_hash(values)
     z = jnp.zeros((n,), dtype=jnp.uint32)
     block = jnp.stack(
         [values, jnp.full((n,), 0x80000000, dtype=jnp.uint32)]

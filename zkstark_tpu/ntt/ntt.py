@@ -111,10 +111,33 @@ def _butterflies(x, plan: NttPlan):
     return x
 
 
+def _effective_root(plan: NttPlan) -> int:
+    """The root the plan actually transforms with (inverted for INTT plans)."""
+    return (
+        pow(plan.root, fp.P - 2, fp.P) if plan.scale_mont is not None else plan.root
+    )
+
+
+def _fourstep_ok(x, plan: NttPlan) -> bool:
+    from zkstark_tpu import ops
+    from zkstark_tpu.ops import ntt_kernel
+
+    return (
+        ops.pallas_enabled() and x.ndim == 1 and ntt_kernel.fourstep_supported(plan.n)
+    )
+
+
 def ntt(x, plan: NttPlan):
     """X[k] = Σ_j x[j]·ω^{jk} along the last axis (Montgomery-form in/out,
-    natural order in/out); leading axes are independent batch transforms."""
+    natural order in/out); leading axes are independent batch transforms.
+
+    Large flat transforms route to the fused four-step Pallas path
+    (ops/ntt_kernel.py) — bit-identical, ~2 HBM passes instead of 2·log n."""
     assert x.shape[-1] == plan.n
+    if _fourstep_ok(x, plan):
+        from zkstark_tpu.ops import ntt_kernel
+
+        return ntt_kernel.ntt_fourstep(x, plan.n, _effective_root(plan))
     x = jnp.take(x, plan.bitrev, axis=-1)
     return _butterflies(x, plan)
 
@@ -122,6 +145,13 @@ def ntt(x, plan: NttPlan):
 def intt(x, plan: NttPlan):
     """Inverse transform: x[j] = n^{-1}·Σ_k X[k]·ω^{-jk}; plan must be inverse."""
     assert plan.scale_mont is not None, "intt needs a plan built with inverse=True"
+    if _fourstep_ok(x, plan):
+        from zkstark_tpu.ops import ntt_kernel
+
+        # n^{-1} folds into the four-step twiddle matrix — no extra pass
+        return ntt_kernel.ntt_fourstep(
+            x, plan.n, _effective_root(plan), inverse_scale=plan.scale_mont
+        )
     y = ntt(x, plan)
     return fp.mont_mul(y, jnp.uint32(plan.scale_mont))
 

@@ -1,0 +1,166 @@
+"""Fused NTT as a Pallas TPU kernel: four-step decomposition with a
+column-transform kernel that runs every butterfly stage in VMEM.
+
+Why: the jnp radix-2 path (ntt/ntt.py) materializes the array between stages,
+so a size-n transform pays ~2·log2(n) HBM passes. Here a transform of size
+m ≤ 4096 is one kernel: the (m, 128) block is loaded once, all log2(m) stages
+run on-chip, and the block is written once — the transform becomes HBM-bound
+at ~2 passes instead of ~2·log2(n).
+
+Column orientation is the TPU-native choice: butterflies pair *rows* of an
+(m, lanes) block, so every stage is sublane arithmetic vectorized across 128
+lanes — no lane shuffles ever. The pairing at distance `half` is expressed
+with two `pltpu.roll`s and a parity select, which keeps a single Montgomery
+multiply per stage:
+
+    operand = where(even_half, x[r+half], x[r])      # rolls + select
+    prod    = W[r] · operand                          # one mont_mul
+    x       = where(even_half, x[r] + prod, x[r−half] − prod)
+
+A flat size-n transform (n = n1·n2) is the classic four-step factorization —
+the single-chip twin of the sharded six-step in parallel/ntt_sharded.py:
+
+    X[k1 + n1·k2] = Σ_{j2} ω^{j2·k1} (ω^{n1})^{j2·k2} · Σ_{j1} x[j1·n2+j2] (ω^{n2})^{j1·k1}
+
+    1. column NTTs of the (n1, n2) view, root ω^{n2}   [kernel]
+    2. twiddle by T[k1, j2] = ω^{k1·j2}                [jnp, fuses into 3]
+    3. transpose + bit-reverse rows                     [jnp]
+    4. column NTTs of the (n2, n1) view, root ω^{n1}   [kernel]
+    5. flatten — already natural order
+
+Outputs are bit-identical to ntt.ntt / ntt.intt (pure field identities; no
+rounding anywhere). Replaces the reference's O(n²)/O(n³) polynomial algebra
+(polynomial.rs:49-57, 337-383) at TPU speed-of-light.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zkstark_tpu.field import fp
+from zkstark_tpu.ops import pallas_interpret
+
+MAX_COLS_SIZE = 4096  # (4096, 128) uint32 block = 2 MB — comfortable in VMEM
+MIN_FOURSTEP = 1 << 14  # below this both factors can't reach 128 lanes
+
+
+def _roll(x, shift: int, axis: int):
+    """Indirection so ops.testing can emulate the kernel off-TPU (jnp.roll)."""
+    return pltpu.roll(x, shift, axis)
+
+
+def _ntt_cols_kernel(x_ref, tw_ref, out_ref):
+    """All log2(m) DIT stages over the sublane axis of an (m, 128) block.
+
+    Rows must arrive bit-reversed; output is natural order. tw_ref lane s
+    holds the stage-s twiddle column W_s[r] = ω_{2^{s+1}}^{r mod 2^s}."""
+    x = x_ref[:]
+    m = x.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    for s in range(m.bit_length() - 1):
+        half = 1 << s
+        w_col = tw_ref[:, s : s + 1]
+        even = (r & (2 * half - 1)) < half
+        up = _roll(x, -half, 0)
+        down = _roll(x, half, 0)
+        prod = fp.mont_mul(w_col, jnp.where(even, up, x))
+        x = jnp.where(even, fp.add(x, prod), fp.sub(down, prod))
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _ntt_cols_call(x2d, tw, interpret: bool):
+    m, lanes = x2d.shape
+    return pl.pallas_call(
+        _ntt_cols_kernel,
+        grid=(lanes // 128,),
+        in_specs=[
+            pl.BlockSpec((m, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, lanes), jnp.uint32),
+        interpret=interpret,
+    )(x2d, tw)
+
+
+def _stage_twiddle_table(m: int, w: int) -> np.ndarray:
+    """(m, 128) uint32: lane s = full-length stage-s twiddle column (period
+    2^s), Montgomery form. Only log2(m) lanes are used; the rest pad to the
+    TPU lane width."""
+    stages = m.bit_length() - 1
+    tw = np.zeros((m, 128), dtype=np.uint32)
+    for s in range(stages):
+        half = 1 << s
+        wm = pow(w, m >> (s + 1), fp.P)  # root of order 2^{s+1}
+        col = fp.host_to_mont(fp.host_powers(wm, half))
+        tw[:, s] = np.tile(col, m // half)
+    return tw
+
+
+@functools.lru_cache(maxsize=None)
+def _fourstep_constants(n: int, w: int, inverse_scale: int | None):
+    """Factor n = n1·n2 (n1 ≥ n2 ≥ 128), tables and twiddle matrix."""
+    bits = n.bit_length() - 1
+    b1 = (bits + 1) // 2
+    n1, n2 = 1 << b1, 1 << (bits - b1)
+    assert n2 >= 128 and n1 <= MAX_COLS_SIZE
+    with jax.ensure_compile_time_eval():
+        from zkstark_tpu.ntt.ntt import bit_reverse_indices
+
+        tw1 = jnp.asarray(_stage_twiddle_table(n1, pow(w, n2, fp.P)))
+        tw2 = jnp.asarray(_stage_twiddle_table(n2, pow(w, n1, fp.P)))
+        br1 = jnp.asarray(bit_reverse_indices(n1))
+        br2 = jnp.asarray(bit_reverse_indices(n2))
+        # T[k1, j2] = w^{k1·j2} (· n^{-1} for inverse transforms, folding the
+        # INTT scale into a matrix every element passes through exactly once)
+        t = jax.jit(_twiddle_matrix, static_argnums=(0, 1, 2))(
+            n1, n2, w, inverse_scale
+        )
+    return n1, n2, tw1, tw2, br1, br2, t
+
+
+def _twiddle_matrix(n1: int, n2: int, w: int, inverse_scale: int | None):
+    rows = fp.device_powers(w, n1)  # w^{k1}
+    v = _vandermonde(rows, n2)  # (n1, n2): (w^{k1})^{j2}
+    if inverse_scale is not None:
+        v = fp.mont_mul(v, jnp.uint32(inverse_scale))
+    return v
+
+
+def _vandermonde(bases, n: int):
+    v = jnp.full(bases.shape + (1,), jnp.uint32(fp.R_MOD_P))
+    bm = bases
+    while v.shape[-1] < n:
+        step = min(v.shape[-1], n - v.shape[-1])
+        v = jnp.concatenate([v, fp.mont_mul(v[..., :step], bm[..., None])], axis=-1)
+        bm = fp.mont_mul(bm, bm)
+    return v
+
+
+def fourstep_supported(n: int) -> bool:
+    if n < MIN_FOURSTEP:
+        return False
+    bits = n.bit_length() - 1
+    return (1 << ((bits + 1) // 2)) <= MAX_COLS_SIZE  # n ≤ 2^24
+
+
+def ntt_fourstep(x, n: int, w: int, inverse_scale: int | None = None):
+    """Size-n transform of a flat Montgomery vector with root w (standard
+    form), natural order in/out — bit-identical to ntt.ntt with the same
+    effective root. If inverse_scale (Montgomery n^{-1}) is given it is folded
+    in, making this a complete INTT."""
+    n1, n2, tw1, tw2, br1, br2, t = _fourstep_constants(n, w, inverse_scale)
+    interp = pallas_interpret()
+    xb = jnp.take(x.reshape(n1, n2), br1, axis=0)
+    a = _ntt_cols_call(xb, tw1, interp)  # (n1, n2) column NTTs
+    b = fp.mont_mul(a, t)  # step-B twiddles (fused by XLA into the transpose)
+    bt = jnp.take(b.T, br2, axis=0)  # (n2, n1)
+    d = _ntt_cols_call(bt, tw2, interp)  # (n2, n1) column NTTs
+    return d.reshape(n)

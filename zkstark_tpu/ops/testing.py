@@ -1,0 +1,60 @@
+"""Emulate Pallas kernel bodies as plain jitted JAX functions (CPU CI).
+
+Pallas `interpret=True` dispatches every kernel op eagerly, which makes the
+big straight-line kernels here (~2.5k ops) take minutes on CPU — unusable for
+CI. Instead we run the kernel *body* under `jax.jit` with shim Refs over whole
+arrays (single-block view). This executes the exact same traced computation as
+the Mosaic-compiled kernel; only the BlockSpec/grid plumbing is not covered,
+which the on-TPU benchmark path exercises.
+
+Kernels that use TPU-only primitives (e.g. `pltpu.roll`) route them through a
+module-level indirection that tests can monkeypatch to the jnp equivalent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class _ReadRef:
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    @property
+    def dtype(self):
+        return self.arr.dtype
+
+
+class _WriteRef:
+    def __init__(self, shape, dtype):
+        self.arr = jnp.zeros(shape, dtype)
+
+    def __setitem__(self, idx, val):
+        self.arr = self.arr.at[idx].set(val)
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+
+def emulate_kernel(kernel, out_shape, out_dtype, *arrays):
+    """Run `kernel(*in_refs, out_ref)` on full arrays, return the output."""
+
+    @jax.jit
+    def run(*xs):
+        out = _WriteRef(out_shape, out_dtype)
+        kernel(*[_ReadRef(x) for x in xs], out)
+        return out.arr
+
+    return run(*arrays)
