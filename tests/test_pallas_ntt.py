@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from zkstark_tpu.field import fp
-from zkstark_tpu.ntt import ntt
+import zkstark_tpu.ntt.core as ntt_mod
 from zkstark_tpu.ops import ntt_kernel, testing
 
 
@@ -29,7 +29,7 @@ def _rand_mont(n, seed=7):
 def _jnp_ntt(x, plan):
     """The pure radix-2 path, bypassing the pallas dispatch."""
     y = jnp.take(x, plan.bitrev, axis=-1)
-    return ntt._butterflies(y, plan)
+    return ntt_mod._butterflies(y, plan)
 
 
 def _emulated_fourstep(x, n, w, inverse_scale=None):
@@ -52,20 +52,20 @@ def test_cols_kernel_single_transform():
     """(m, lanes) column transforms == batched radix-2 row transforms."""
     m, lanes = 512, 128
     x = _rand_mont(m * lanes).reshape(m, lanes)
-    plan = ntt.forward_plan(m)
+    plan = ntt_mod.forward_plan(m)
     tw = jnp.asarray(ntt_kernel._stage_twiddle_table(m, plan.root))
-    xb = jnp.take(x, jnp.asarray(ntt.bit_reverse_indices(m)), axis=0)
+    xb = jnp.take(x, jnp.asarray(ntt_mod.bit_reverse_indices(m)), axis=0)
     got = testing.emulate_kernel(
         ntt_kernel._ntt_cols_kernel, (m, lanes), jnp.uint32, xb, tw
     )
-    want = ntt.ntt(x.T, plan).T  # row transforms of the transpose
+    want = ntt_mod.ntt(x.T, plan).T  # row transforms of the transpose
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 @pytest.mark.parametrize("n", [1 << 14, 1 << 16])
 def test_fourstep_matches_radix2(n):
     x = _rand_mont(n)
-    plan = ntt.forward_plan(n)
+    plan = ntt_mod.forward_plan(n)
     got = _emulated_fourstep(x, n, plan.root)
     want = _jnp_ntt(x, plan)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
@@ -74,8 +74,8 @@ def test_fourstep_matches_radix2(n):
 def test_fourstep_inverse_roundtrip():
     n = 1 << 14
     x = _rand_mont(n)
-    fwd = ntt.forward_plan(n)
-    inv = ntt.inverse_plan(n)
+    fwd = ntt_mod.forward_plan(n)
+    inv = ntt_mod.inverse_plan(n)
     y = _emulated_fourstep(x, n, fwd.root)
     back = _emulated_fourstep(
         y, n, pow(fwd.root, fp.P - 2, fp.P), inverse_scale=inv.scale_mont

@@ -59,13 +59,31 @@ def test_transcript_layout(proof_and_artifacts):
 
 
 def test_final_state(proof_and_artifacts):
+    """Recompute the full channel hash chain from the raw transcript bytes,
+    independently of Channel/ReplayChannel: split the transcript into the
+    commit-order payloads (channel.rs:19-26 framing) and chain SHA-256."""
     proof, _ = proof_and_artifacts
     assert proof.state.hex() == FINAL_STATE
-    # the state is the running SHA-256 chain over the full transcript in
-    # commit order — recompute it independently as a sanity anchor
+
+    r = bincode.Reader(proof.data)
+    payloads = [r.hash()]  # f root
+    payloads += [bincode.ser_u32(r.u32()) for _ in range(3)]  # alphas
+    payloads.append(r.hash())  # cp root
+    for _ in range(10):
+        payloads.append(bincode.ser_u32(r.u32()))  # beta
+        payloads.append(r.hash())  # layer root
+    payloads.append(bincode.ser_u32(r.u32()))  # free term
+    payloads.append(bincode.ser_u32(r.u32()))  # query draw
+    for _ in range(4):
+        payloads.append(bincode.ser_opening(*r.opening()))
+    for _ in range(10):
+        payloads.append(bincode.ser_fri_opening(*r.fri_opening()))
+    assert r.exhausted
+
     state = b"\x00" * 32
-    # (cannot segment without re-parsing; the verifier's replay covers that)
-    assert hashlib.sha256(state).digest() != proof.state  # not degenerate
+    for payload in payloads:
+        state = hashlib.sha256(state + payload).digest()
+    assert state == proof.state
 
 
 def test_verify_accepts(proof_and_artifacts):

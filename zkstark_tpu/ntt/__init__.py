@@ -1,4 +1,4 @@
-from zkstark_tpu.ntt.ntt import (
+from zkstark_tpu.ntt.core import (
     NttPlan,
     bit_reverse_indices,
     coset_intt,

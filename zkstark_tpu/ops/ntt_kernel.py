@@ -112,7 +112,7 @@ def _fourstep_constants(n: int, w: int, inverse_scale: int | None):
     n1, n2 = 1 << b1, 1 << (bits - b1)
     assert n2 >= 128 and n1 <= MAX_COLS_SIZE
     with jax.ensure_compile_time_eval():
-        from zkstark_tpu.ntt.ntt import bit_reverse_indices
+        from zkstark_tpu.ntt.core import bit_reverse_indices
 
         tw1 = jnp.asarray(_stage_twiddle_table(n1, pow(w, n2, fp.P)))
         tw2 = jnp.asarray(_stage_twiddle_table(n2, pow(w, n1, fp.P)))

@@ -1,11 +1,14 @@
-"""Emulate Pallas kernel bodies as plain jitted JAX functions (CPU CI).
+"""Emulate Pallas kernel bodies as plain eager JAX functions (CPU CI).
 
-Pallas `interpret=True` dispatches every kernel op eagerly, which makes the
-big straight-line kernels here (~2.5k ops) take minutes on CPU — unusable for
-CI. Instead we run the kernel *body* under `jax.jit` with shim Refs over whole
-arrays (single-block view). This executes the exact same traced computation as
-the Mosaic-compiled kernel; only the BlockSpec/grid plumbing is not covered,
-which the on-TPU benchmark path exercises.
+Pallas `interpret=True` dispatches every kernel op through the interpreter,
+which makes the big straight-line kernels here (~2.5k ops) take minutes on
+CPU — unusable for CI. Jitting the body is no better: XLA:CPU's compile of
+the fully-unrolled SHA-256 graph takes >4 minutes (measured). So we run the
+kernel *body* eagerly with shim Refs over whole arrays (single-block view) —
+a few hundred dispatches over tiny blocks, well under a second. This executes
+the exact same traced computation as the Mosaic-compiled kernel; only the
+BlockSpec/grid plumbing is not covered, which the on-TPU benchmark path
+exercises.
 
 Kernels that use TPU-only primitives (e.g. `pltpu.roll`) route them through a
 module-level indirection that tests can monkeypatch to the jnp equivalent.
@@ -13,7 +16,6 @@ module-level indirection that tests can monkeypatch to the jnp equivalent.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -50,11 +52,6 @@ class _WriteRef:
 
 def emulate_kernel(kernel, out_shape, out_dtype, *arrays):
     """Run `kernel(*in_refs, out_ref)` on full arrays, return the output."""
-
-    @jax.jit
-    def run(*xs):
-        out = _WriteRef(out_shape, out_dtype)
-        kernel(*[_ReadRef(x) for x in xs], out)
-        return out.arr
-
-    return run(*arrays)
+    out = _WriteRef(out_shape, out_dtype)
+    kernel(*[_ReadRef(x) for x in arrays], out)
+    return out.arr
