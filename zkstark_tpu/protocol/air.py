@@ -1,6 +1,20 @@
-"""The FibonacciSq AIR: trace generation and interpolation.
+"""AIR (algebraic intermediate representation) framework + the FibonacciSq AIR.
 
-Reference semantics: prover.rs:32-39 builds a 1023-step trace
+The reference welds its three FibonacciSq constraints into the prover
+(prover.rs:101-145) and duplicates them in the verifier (proof.rs:63-77).
+Here an `Air` is a first-class pluggable object: it generates the witness
+trace and declares an ordered list of constraints — `Boundary(step, value)`
+and `Transition(numerator, exempt)` — from which the framework derives both
+the device-side eval-form composition (batched inversions against
+precomputed vanishing denominators, no polynomial division) and the
+host-side point checks the verifier performs at each query.
+
+Constraint numerators are written once against an `ops` namespace (mul/add/
+sub/const) and run in two modes: vectorized Montgomery arrays on device, and
+exact Python ints mod p on the verifier host — one source of truth for the
+protocol math.
+
+Reference semantics for FibonacciSq: prover.rs:32-39 builds a 1023-step trace
 a[0]=1, a[1]=secret, a[i]=a[i-2]²+a[i-1]², then Lagrange-interpolates through
 (g^i, a[i]) for i ≤ 1022 — an O(n³) CPU loop (polynomial.rs:337-383).
 
@@ -19,6 +33,7 @@ O(n log n) device phases, and is done host-side with exact ints.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
