@@ -1,0 +1,54 @@
+"""Kill-and-resume: a proof interrupted at any Fiat-Shamir barrier resumes
+from its checkpoint and produces the byte-identical golden transcript."""
+
+import numpy as np
+import pytest
+
+from zkstark_tpu.protocol import checkpoint
+from zkstark_tpu.protocol.config import StarkConfig
+from zkstark_tpu.protocol.prover import prove
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    # Small config: trace 63, domain 512 — fast on CPU, full protocol shape.
+    from zkstark_tpu.protocol.air import fibonacci_sq_trace
+
+    trace = fibonacci_sq_trace(63, 3141592)
+    return StarkConfig(trace_len=63, blowup=8, boundary_last=int(trace[-1]))
+
+
+@pytest.fixture(scope="module")
+def golden_proof(small_cfg):
+    return prove(small_cfg, fused=False)
+
+
+@pytest.mark.parametrize("stop_after", ["phase1", "phase2", "fri"])
+def test_resume_matches_uninterrupted(tmp_path, small_cfg, golden_proof, stop_after):
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path)
+    assert rp.run(stop_after=stop_after) is None  # "crash"
+    resumed = checkpoint.ResumableProver(small_cfg, 3141592, path).run()
+    assert resumed.data == golden_proof.data
+    assert resumed.state == golden_proof.state
+
+
+def test_uninterrupted_resumable_matches(tmp_path, small_cfg, golden_proof):
+    path = str(tmp_path / "ckpt.npz")
+    proof = checkpoint.ResumableProver(small_cfg, 3141592, path).run()
+    assert proof.data == golden_proof.data
+
+
+def test_corrupt_checkpoint_rejected(tmp_path, small_cfg):
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path)
+    rp.run(stop_after="phase1")
+    # flip one transcript byte inside the npz
+    import zipfile
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    flat["__data__"] = flat["__data__"].copy()
+    flat["__data__"][0] ^= 1
+    np.savez(path, **flat)
+    with pytest.raises(checkpoint.CheckpointError):
+        checkpoint.load(path)

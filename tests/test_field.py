@@ -128,3 +128,39 @@ class TestGeneratorStructure:
     def test_two_adicity(self):
         assert (fp.P - 1) % (1 << fp.TWO_ADICITY) == 0
         assert (fp.P - 1) // (1 << fp.TWO_ADICITY) == 3
+
+
+class TestGeneratorSearch:
+    """The reference's generator()/order() algorithms (field.rs:45-86),
+    property-tested over Gf<4391> exactly like its generator_test
+    (field.rs:213-226)."""
+
+    def test_generator_of_4391(self):
+        p = 4391
+        gen = fp.find_generator(p)
+        assert fp.multiplicative_order(gen, p) == p - 1
+        # the generator's powers enumerate every nonzero element exactly once
+        seen = set()
+        acc = 1
+        for _ in range(p - 1):
+            acc = acc * gen % p
+            seen.add(acc)
+        assert len(seen) == p - 1
+
+    def test_protocol_field_generator_found_is_5(self):
+        # prover.rs:44: the trial search over F_3221225473 lands on 5.
+        assert fp.find_generator(fp.P) == 5
+
+    def test_order_divides_group_order(self):
+        p = 4391
+        for x in (2, 3, 5, 7, 100, 4390):
+            d = fp.multiplicative_order(x, p)
+            assert (p - 1) % d == 0
+            assert pow(x, d, p) == 1
+            for q in fp._prime_factors(d):
+                assert pow(x, d // q, p) != 1
+
+    def test_order_of_subgroup_elements(self):
+        # prover.rs:52-53 asserts orders 1024 and 8192 for g and h.
+        assert fp.multiplicative_order(fp.subgroup_generator(1024)) == 1024
+        assert fp.multiplicative_order(fp.subgroup_generator(8192)) == 8192

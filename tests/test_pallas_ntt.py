@@ -33,14 +33,14 @@ def _jnp_ntt(x, plan):
 
 
 def _emulated_fourstep(x, n, w, inverse_scale=None):
-    n1, n2, tw1, tw2, br1, br2, t = ntt_kernel._fourstep_constants(
+    n1, n2, tw1, tw2, br1, br2, u, v = ntt_kernel._fourstep_constants(
         n, w, inverse_scale
     )
     xb = jnp.take(x.reshape(n1, n2), br1, axis=0)
     a = testing.emulate_kernel(
         ntt_kernel._ntt_cols_kernel, (n1, n2), jnp.uint32, xb, tw1
     )
-    b = fp.mont_mul(a, t)
+    b = ntt_kernel._apply_twiddle(a, u, v)
     bt = jnp.take(b.T, br2, axis=0)
     d = testing.emulate_kernel(
         ntt_kernel._ntt_cols_kernel, (n2, n1), jnp.uint32, bt, tw2

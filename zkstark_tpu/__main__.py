@@ -1,0 +1,133 @@
+"""CLI driver — the TPU-native analog of the reference's main() (main.rs:15-36).
+
+The reference binary proves, verifies, and prints timings + proof size with no
+flags. This entry point does the same by default and adds the config surface
+the reference lacks (SURVEY.md §5 config):
+
+    python -m zkstark_tpu prove   [--out proof.bin] [--secret N] [--trace-len N]
+                                  [--blowup N] [--json]
+    python -m zkstark_tpu verify  proof.bin [--json]
+    python -m zkstark_tpu run     # prove + verify in one process (main.rs behavior)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_cfg(args) -> "StarkConfig":
+    from zkstark_tpu.protocol.config import StarkConfig
+
+    kw = {}
+    if args.trace_len is not None:
+        kw["trace_len"] = args.trace_len
+    if args.blowup is not None:
+        kw["blowup"] = args.blowup
+    return StarkConfig(**kw)
+
+
+def _emit(args, payload: dict):
+    if args.json:
+        print(json.dumps(payload))
+    else:
+        for k, v in payload.items():
+            print(f"{k}: {v}")
+
+
+def cmd_prove(args) -> int:
+    from zkstark_tpu.protocol.prover import prove
+
+    cfg = _build_cfg(args)
+    t0 = time.perf_counter()
+    proof = prove(cfg, secret=args.secret)
+    dt = time.perf_counter() - t0
+    with open(args.out, "wb") as f:
+        f.write(proof.to_bytes())
+    _emit(
+        args,
+        {
+            "prover_runtime_seconds": round(dt, 4),
+            "proof_size_bytes": proof.size(),
+            "out": args.out,
+        },
+    )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from zkstark_tpu.protocol.proof import Proof
+    from zkstark_tpu.protocol.verifier import VerificationError, verify
+
+    cfg = _build_cfg(args)
+    with open(args.proof, "rb") as f:
+        proof = Proof.from_bytes(f.read())
+    t0 = time.perf_counter()
+    try:
+        report = verify(proof, cfg)
+    except VerificationError as e:
+        _emit(args, {"verified": False, "error": str(e)})
+        return 1
+    dt = time.perf_counter() - t0
+    _emit(
+        args,
+        {
+            "verified": True,
+            "verifier_runtime_seconds": round(dt, 6),
+            "checks_passed": len(report.checks_passed),
+        },
+    )
+    return 0
+
+
+def cmd_run(args) -> int:
+    """prove + verify + size print — the reference main()'s exact behavior."""
+    from zkstark_tpu.protocol.prover import prove
+    from zkstark_tpu.protocol.verifier import verify
+
+    cfg = _build_cfg(args)
+    t0 = time.perf_counter()
+    proof = prove(cfg, secret=args.secret)
+    t1 = time.perf_counter()
+    report = verify(proof, cfg)
+    t2 = time.perf_counter()
+    _emit(
+        args,
+        {
+            "prover_runtime_seconds": round(t1 - t0, 4),
+            "verifier_runtime_seconds": round(t2 - t1, 6),
+            "proof_size_bytes": proof.size(),
+            "checks_passed": len(report.checks_passed),
+        },
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="zkstark_tpu")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    ap.add_argument("--trace-len", type=int, default=None)
+    ap.add_argument("--blowup", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prove", help="generate a proof and write it to a file")
+    p.add_argument("--out", default="proof.bin")
+    p.add_argument("--secret", type=int, default=3141592)
+    p.set_defaults(fn=cmd_prove)
+
+    v = sub.add_parser("verify", help="verify a proof file")
+    v.add_argument("proof")
+    v.set_defaults(fn=cmd_verify)
+
+    r = sub.add_parser("run", help="prove + verify in one process (main.rs:15-36)")
+    r.add_argument("--secret", type=int, default=3141592)
+    r.set_defaults(fn=cmd_run)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

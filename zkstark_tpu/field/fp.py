@@ -47,7 +47,12 @@ R2_MOD_P = (R * R) % P  # to_mont multiplier
 P_INV_NEG = (-pow(P, -1, R)) % R
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars lower as literals inside Pallas kernels (jnp scalars would be
+# captured array constants, which pallas_call rejects).
+_MASK16 = np.uint32(0xFFFF)
+_P_U32 = np.uint32(P)
+_P_INV_NEG_U32 = np.uint32(P_INV_NEG)
+_R_MINUS_P_U32 = np.uint32(R - P)
 
 
 def _u32(x) -> jnp.ndarray:
@@ -99,8 +104,8 @@ def _mont_reduce(hi, lo):
     u = hi + hi(m·p) + carry can itself carry out of 32 bits (u < 2p but
     2p > 2^32 for this p), handled via wraparound detection.
     """
-    m = lo * jnp.uint32(P_INV_NEG)
-    mp_hi = _mul32_hi(m, jnp.uint32(P))
+    m = lo * _P_INV_NEG_U32
+    mp_hi = _mul32_hi(m, _P_U32)
     carry = (lo != 0).astype(_U32)
     s1 = hi + mp_hi
     c1 = s1 < hi
@@ -109,8 +114,8 @@ def _mont_reduce(hi, lo):
     overflow = jnp.logical_or(c1, c2)
     # If overflow: true u = s2 + 2^32 ≥ 2^32 > p, so subtract p once:
     #   u − p  ≡  s2 + (2^32 − p)  (mod 2^32), and u − p < p so it fits.
-    reduced_ov = s2 + jnp.uint32(R - P)
-    reduced_no = jnp.where(s2 >= jnp.uint32(P), s2 - jnp.uint32(P), s2)
+    reduced_ov = s2 + _R_MINUS_P_U32
+    reduced_no = jnp.where(s2 >= _P_U32, s2 - _P_U32, s2)
     return jnp.where(overflow, reduced_ov, reduced_no)
 
 
@@ -137,18 +142,18 @@ def from_mont(a):
 def add(a, b):
     s = a + b
     wrapped = s < a  # uint32 wraparound ⇒ true sum ≥ 2^32 > p
-    need_sub = jnp.logical_or(wrapped, s >= jnp.uint32(P))
-    return jnp.where(need_sub, s - jnp.uint32(P), s)
+    need_sub = jnp.logical_or(wrapped, s >= _P_U32)
+    return jnp.where(need_sub, s - _P_U32, s)
 
 
 def sub(a, b):
     d = a - b
     borrow = a < b
-    return jnp.where(borrow, d + jnp.uint32(P), d)
+    return jnp.where(borrow, d + _P_U32, d)
 
 
 def neg(a):
-    return jnp.where(a == 0, a, jnp.uint32(P) - a)
+    return jnp.where(a == 0, a, _P_U32 - a)
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +203,48 @@ def device_powers(base: int, n: int) -> jnp.ndarray:
 
 def host_pow(base: int, e: int, modulus: int = P) -> int:
     return pow(base, e % (modulus - 1) if e >= 0 else e, modulus)
+
+
+def _prime_factors(n: int) -> list[int]:
+    """Unique prime factors of n by trial division (n ≤ ~2^64 protocol sizes)."""
+    out = []
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            out.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1 if d == 2 else 2
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def multiplicative_order(x: int, modulus: int = P) -> int:
+    """Exact multiplicative order of x in F_modulus^* (reference field.rs:45-49
+    computes this by linear scan; here divisor-refinement over the group order
+    — same result, O(log²) instead of O(p))."""
+    x %= modulus
+    if x == 0:
+        raise ValueError("0 has no multiplicative order")
+    order = modulus - 1
+    for q in _prime_factors(modulus - 1):
+        while order % q == 0 and pow(x, order // q, modulus) == 1:
+            order //= q
+    return order
+
+
+def find_generator(modulus: int = P) -> int:
+    """Smallest multiplicative generator of F_modulus^*, by the reference's
+    trial algorithm (field.rs:52-86): collect the unique prime factors q of
+    modulus−1, return the first x ≥ 2 with x^((modulus−1)/q) ≠ 1 for all q.
+    For the protocol field this finds 5 (noted at prover.rs:44)."""
+    factors = _prime_factors(modulus - 1)
+    x = 2
+    while True:
+        if all(pow(x, (modulus - 1) // q, modulus) != 1 for q in factors):
+            return x
+        x += 1
 
 
 @functools.lru_cache(maxsize=None)

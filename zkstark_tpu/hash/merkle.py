@@ -46,6 +46,38 @@ def build_levels(values):
     return levels
 
 
+def build_levels_batch(values):
+    """Batched twin of build_levels: (B, n) residues → [(B, n, 8), …, (B, 1, 8)].
+
+    B independent trees built in lockstep — the DP axis of batched proving.
+    The flat reshape keeps the Pallas hash kernels on their fast path (they
+    only see bigger flat batches)."""
+    bsz, n = values.shape
+    assert n & (n - 1) == 0 and n >= 1
+    from zkstark_tpu import ops
+
+    use_pallas = ops.pallas_enabled()
+    if use_pallas:
+        from zkstark_tpu.ops import sha256_kernel
+
+    level = sha256.leaf_hash(values.reshape(bsz * n)).reshape(bsz, n, 8)
+    levels = [level]
+    while level.shape[1] > 1:
+        k = level.shape[1] // 2
+        flat = level.reshape(bsz * k, 16)  # adjacent digests = left‖right
+        if (
+            use_pallas
+            and bsz * k >= sha256_kernel.MIN_BATCH
+            and (bsz * k) % sha256_kernel.MIN_BATCH == 0
+        ):
+            nodes = sha256_kernel.node_hash_pairs(flat)
+        else:
+            nodes = sha256.node_hash(flat[:, :8], flat[:, 8:])
+        level = nodes.reshape(bsz, k, 8)
+        levels.append(level)
+    return levels
+
+
 @jax.jit
 def _build_root(values):
     return build_levels(values)[-1][0]

@@ -67,7 +67,8 @@ def _ntt_cols_kernel(x_ref, tw_ref, out_ref):
         half = 1 << s
         w_col = tw_ref[:, s : s + 1]
         even = (r & (2 * half - 1)) < half
-        up = _roll(x, -half, 0)
+        # pltpu.roll requires a non-negative shift: roll by -half ≡ m - half.
+        up = _roll(x, m - half, 0)
         down = _roll(x, half, 0)
         prod = fp.mont_mul(w_col, jnp.where(even, up, x))
         x = jnp.where(even, fp.add(x, prod), fp.sub(down, prod))
@@ -77,6 +78,14 @@ def _ntt_cols_kernel(x_ref, tw_ref, out_ref):
 @functools.partial(jax.jit, static_argnums=(2,))
 def _ntt_cols_call(x2d, tw, interpret: bool):
     m, lanes = x2d.shape
+    # The unrolled log2(m)-stage body needs ~6 (m,128) u32 live values at the
+    # deepest stage; at m = 4096 that exceeds Mosaic's default 16 MB scoped
+    # VMEM, so raise the cap (v5e has 128 MB physical VMEM).
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
     return pl.pallas_call(
         _ntt_cols_kernel,
         grid=(lanes // 128,),
@@ -87,6 +96,7 @@ def _ntt_cols_call(x2d, tw, interpret: bool):
         out_specs=pl.BlockSpec((m, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, lanes), jnp.uint32),
         interpret=interpret,
+        **params,
     )(x2d, tw)
 
 
@@ -104,13 +114,25 @@ def _stage_twiddle_table(m: int, w: int) -> np.ndarray:
     return tw
 
 
+_VBLK = 128  # inner factor of the twiddle-matrix decomposition (lane width)
+
+
 @functools.lru_cache(maxsize=None)
 def _fourstep_constants(n: int, w: int, inverse_scale: int | None):
-    """Factor n = n1·n2 (n1 ≥ n2 ≥ 128), tables and twiddle matrix."""
+    """Factor n = n1·n2 (n1 ≥ n2 ≥ 128), stage tables and twiddle factors.
+
+    The step-B twiddle matrix T[k1, j2] = w^{k1·j2} is NOT materialized (at
+    n = 2^24 it would be a 64 MB array — one extra HBM round trip per
+    transform and a constant the compiler chokes on). Instead j2 = 128·jh + jl
+    gives the exact rank-structured factorization
+        T[k1, j2] = U[k1, jh] · V[k1, jl],
+    U = (w^{128})^{k1·jh} (n1 × n2/128), V = w^{k1·jl} (n1 × 128) — two tiny
+    tables and one extra fused mont_mul per element. The INTT 1/n scale folds
+    into U (every element passes through it exactly once)."""
     bits = n.bit_length() - 1
     b1 = (bits + 1) // 2
     n1, n2 = 1 << b1, 1 << (bits - b1)
-    assert n2 >= 128 and n1 <= MAX_COLS_SIZE
+    assert n2 >= _VBLK and n1 <= MAX_COLS_SIZE
     with jax.ensure_compile_time_eval():
         from zkstark_tpu.ntt.core import bit_reverse_indices
 
@@ -118,20 +140,28 @@ def _fourstep_constants(n: int, w: int, inverse_scale: int | None):
         tw2 = jnp.asarray(_stage_twiddle_table(n2, pow(w, n1, fp.P)))
         br1 = jnp.asarray(bit_reverse_indices(n1))
         br2 = jnp.asarray(bit_reverse_indices(n2))
-        # T[k1, j2] = w^{k1·j2} (· n^{-1} for inverse transforms, folding the
-        # INTT scale into a matrix every element passes through exactly once)
-        t = jax.jit(_twiddle_matrix, static_argnums=(0, 1, 2))(
+        u, v = jax.jit(_twiddle_uv, static_argnums=(0, 1, 2, 3))(
             n1, n2, w, inverse_scale
         )
-    return n1, n2, tw1, tw2, br1, br2, t
+    return n1, n2, tw1, tw2, br1, br2, u, v
 
 
-def _twiddle_matrix(n1: int, n2: int, w: int, inverse_scale: int | None):
+def _twiddle_uv(n1: int, n2: int, w: int, inverse_scale: int | None):
     rows = fp.device_powers(w, n1)  # w^{k1}
-    v = _vandermonde(rows, n2)  # (n1, n2): (w^{k1})^{j2}
+    v = _vandermonde(rows, _VBLK)  # (n1, 128): w^{k1·jl}
+    rows_blk = fp.pow_static(rows, _VBLK)  # (w^{128})^{k1}
+    u = _vandermonde(rows_blk, n2 // _VBLK)  # (n1, n2/128): w^{128·k1·jh}
     if inverse_scale is not None:
-        v = fp.mont_mul(v, jnp.uint32(inverse_scale))
-    return v
+        u = fp.mont_mul(u, jnp.uint32(inverse_scale))
+    return u, v
+
+
+def _apply_twiddle(a, u, v):
+    """a[k1, j2] · w^{k1·j2} via the U·V factorization (fused elementwise)."""
+    n1, n2 = a.shape
+    a3 = a.reshape(n1, n2 // _VBLK, _VBLK)
+    a3 = fp.mont_mul(fp.mont_mul(a3, u[:, :, None]), v[:, None, :])
+    return a3.reshape(n1, n2)
 
 
 def _vandermonde(bases, n: int):
@@ -156,11 +186,11 @@ def ntt_fourstep(x, n: int, w: int, inverse_scale: int | None = None):
     form), natural order in/out — bit-identical to ntt.ntt with the same
     effective root. If inverse_scale (Montgomery n^{-1}) is given it is folded
     in, making this a complete INTT."""
-    n1, n2, tw1, tw2, br1, br2, t = _fourstep_constants(n, w, inverse_scale)
+    n1, n2, tw1, tw2, br1, br2, u, v = _fourstep_constants(n, w, inverse_scale)
     interp = pallas_interpret()
     xb = jnp.take(x.reshape(n1, n2), br1, axis=0)
     a = _ntt_cols_call(xb, tw1, interp)  # (n1, n2) column NTTs
-    b = fp.mont_mul(a, t)  # step-B twiddles (fused by XLA into the transpose)
+    b = _apply_twiddle(a, u, v)  # step-B twiddles (fused by XLA)
     bt = jnp.take(b.T, br2, axis=0)  # (n2, n1)
     d = _ntt_cols_call(bt, tw2, interp)  # (n2, n1) column NTTs
     return d.reshape(n)

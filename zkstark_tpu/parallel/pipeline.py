@@ -35,7 +35,6 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
     Outputs: all Merkle roots (as (8,) uint32 digests), the final FRI layer,
     and the free term — everything the transcript needs from the device.
     """
-    comp = pr.composition_constants(cfg)
     inv2 = pr._mont_scalar(pr._INV2)
     layer_inv_x = [
         pr.fri_layer_constants(cfg, layer) for layer in range(cfg.fri_rounds)
@@ -64,27 +63,8 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
         f_res = fp.from_mont(f_eval)
         f_levels = build_levels(f_res)
 
-        # Phase 2 (same math as pr._phase2, sharded elementwise)
-        b = cfg.blowup
-        one_first = jnp.broadcast_to(
-            pr._mont_scalar(cfg.boundary_first), f_eval.shape
-        )
-        one_last = jnp.broadcast_to(pr._mont_scalar(cfg.boundary_last), f_eval.shape)
-        c0 = fp.mont_mul(fp.sub(f_eval, one_first), comp["inv_first"])
-        c1 = fp.mont_mul(fp.sub(f_eval, one_last), comp["inv_last"])
-        f_gx = jnp.roll(f_eval, -b)
-        f_ggx = jnp.roll(f_eval, -2 * b)
-        num2 = fp.sub(
-            fp.sub(f_ggx, fp.mont_mul(f_gx, f_gx)), fp.mont_mul(f_eval, f_eval)
-        )
-        c2 = fp.mont_mul(num2, comp["z_inv"])
-        cp = fp.add(
-            fp.add(
-                fp.mont_mul(c0, alphas_mont[0]), fp.mont_mul(c1, alphas_mont[1])
-            ),
-            fp.mont_mul(c2, alphas_mont[2]),
-        )
-        cp = constrain(cp)
+        # Phase 2: one source of truth for the composition math
+        cp = constrain(pr.composition_eval(cfg, f_eval, alphas_mont))
         roots = [f_levels[-1][0]]
         layer_res = [fp.from_mont(cp)]
         levels = build_levels(layer_res[0])

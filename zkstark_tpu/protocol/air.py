@@ -84,15 +84,18 @@ def _endpoint_basis_impl(n: int):
 def interpolate_trace(trace_mont, n: int):
     """Coefficients (Montgomery form, natural order, degree ≤ n−2) of the unique
     poly through (g^i, trace[i]) for i < n−1 — the reference's lagrange()
-    output (prover.rs:60-61) computed as one INTT + rank-1 correction."""
-    assert trace_mont.shape[0] == n - 1
+    output (prover.rs:60-61) computed as one INTT + rank-1 correction.
+
+    Last axis = the trace; leading axes are independent batch proofs (DP)."""
+    assert trace_mont.shape[-1] == n - 1
     padded = jnp.concatenate(
-        [trace_mont, jnp.zeros(1, dtype=jnp.uint32)], axis=0
+        [trace_mont, jnp.zeros(trace_mont.shape[:-1] + (1,), dtype=jnp.uint32)],
+        axis=-1,
     )
     c0 = ntt.intt(padded, ntt.inverse_plan(n))
     v, v_last_inv = _endpoint_basis(n)
     # choose the free endpoint a_{n-1} so that coefficient n−1 vanishes:
     #   c0[n−1] + a_{n-1}·v[n−1] = 0
-    a_last = fp.mont_mul(fp.neg(c0[n - 1]), v_last_inv)
+    a_last = fp.mont_mul(fp.neg(c0[..., n - 1 : n]), v_last_inv)
     coeffs = fp.add(c0, fp.mont_mul(v, a_last))
     return coeffs

@@ -1,0 +1,201 @@
+"""Checkpoint / resume at Fiat-Shamir phase boundaries.
+
+The reference persists nothing (SURVEY.md §5: the proof blob is the only
+artifact and never hits disk). A framework proving 2^24-point domains across
+hosts needs mid-proof recovery: the channel's serial spine (SURVEY.md §3.5)
+gives natural barriers — after each phase the transcript prefix uniquely
+determines all later challenges, so a proof can resume from (transcript,
+per-phase arrays) with zero recomputation of completed phases.
+
+A checkpoint is an .npz holding the channel state + transcript bytes + every
+device array produced so far, keyed by the channel state hash. On load the
+transcript prefix is REPLAYED through a fresh channel and the resulting state
+must equal the stored one — a corrupt or truncated checkpoint cannot resume
+silently (the integrity check the reference's assert-style failures lack).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkstark_tpu.field import fp
+from zkstark_tpu.hash import merkle
+from zkstark_tpu.protocol import prover as pr
+from zkstark_tpu.protocol.config import StarkConfig
+from zkstark_tpu.protocol.proof import Proof
+from zkstark_tpu.transcript import Channel
+
+
+class CheckpointError(RuntimeError):
+    pass
+
+
+def _flatten(arrays: dict) -> dict:
+    """dict of (array | list[array] | list[list[array]]) → flat npz-able dict."""
+    flat = {}
+    for key, val in arrays.items():
+        if isinstance(val, (list, tuple)):
+            flat[f"__len__{key}"] = np.int64(len(val))
+            for i, item in enumerate(val):
+                flat.update(_flatten({f"{key}__{i}": item}))
+        else:
+            flat[key] = np.asarray(val)
+    return flat
+
+
+def _unflatten(flat: dict) -> dict:
+    keys = set(flat.keys())
+    out = {}
+
+    def build(key):
+        lkey = f"__len__{key}"
+        if lkey in keys:
+            return [build(f"{key}__{i}") for i in range(int(flat[lkey]))]
+        return flat[key]
+
+    tops = set()
+    for k in keys:
+        name = k[len("__len__"):] if k.startswith("__len__") else k
+        tops.add(name.split("__")[0])
+    for t in sorted(tops):
+        out[t] = build(t)
+    return out
+
+
+def save(path: str, phase: str, channel: Channel, arrays: dict) -> None:
+    flat = _flatten(arrays)
+    flat["__phase__"] = np.frombuffer(phase.encode(), dtype=np.uint8)
+    flat["__state__"] = np.frombuffer(channel.state, dtype=np.uint8)
+    flat["__data__"] = np.frombuffer(bytes(channel.data), dtype=np.uint8)
+    check = hashlib.sha256(channel.state + bytes(channel.data)).digest()
+    flat["__check__"] = np.frombuffer(check, dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load(path: str):
+    """→ (phase, channel, arrays); raises CheckpointError if the stored
+    (state, transcript) pair fails its integrity digest."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    phase = flat.pop("__phase__").tobytes().decode()
+    state = flat.pop("__state__").tobytes()
+    data = flat.pop("__data__").tobytes()
+    check = flat.pop("__check__").tobytes()
+    if hashlib.sha256(state + data).digest() != check:
+        raise CheckpointError("checkpoint integrity check failed")
+    ch = Channel()
+    ch.state = state
+    ch.data = bytearray(data)
+    arrays = _unflatten(flat)
+    return phase, ch, arrays
+
+
+class ResumableProver:
+    """The host-synced prover as an explicit phase state machine with a
+    checkpoint written after every Fiat-Shamir barrier.
+
+    run(stop_after=...) simulates a crash for tests; a subsequent
+    ResumableProver(...).run() picks up from the newest checkpoint and the
+    final proof is byte-identical to an uninterrupted prove()."""
+
+    PHASES = ("phase1", "phase2", "fri", "done")
+
+    def __init__(self, cfg: StarkConfig, secret: int, path: str):
+        self.cfg = cfg
+        self.secret = secret
+        self.path = path
+
+    def _save(self, phase: str, channel: Channel, arrays: dict):
+        save(self.path, phase, channel, arrays)
+
+    def run(self, stop_after: str | None = None) -> Proof | None:
+        import os
+
+        cfg = self.cfg
+        if os.path.exists(self.path):
+            phase, channel, arrays = load(self.path)
+        else:
+            phase, channel, arrays = "start", Channel(), {}
+
+        if phase == "start":
+            trace_mont = pr._trace_to_device(cfg, self.secret)
+            f_eval, f_res, f_levels = pr._phase1(cfg, trace_mont)
+            channel.commit_hash(pr._root_bytes(f_levels))
+            arrays = {
+                "f_eval": f_eval,
+                "f_res": f_res,
+                "f_levels": [np.asarray(l) for l in f_levels],
+            }
+            arrays = jax.device_get(arrays)
+            self._save("phase1", channel, arrays)
+            phase = "phase1"
+            if stop_after == "phase1":
+                return None
+
+        if phase == "phase1":
+            alphas = [channel.get_u32() for _ in range(3)]
+            alphas_mont = jnp.stack([pr._mont_scalar(a) for a in alphas])
+            cp_eval, cp_res, cp_levels = pr._phase2(
+                cfg, jnp.asarray(arrays["f_eval"]), alphas_mont
+            )
+            channel.commit_hash(pr._root_bytes(cp_levels))
+            arrays.update(
+                jax.device_get(
+                    {
+                        "cp_eval": cp_eval,
+                        "layer_res": [cp_res],
+                        "layer_levels": [[np.asarray(l) for l in cp_levels]],
+                    }
+                )
+            )
+            self._save("phase2", channel, arrays)
+            phase = "phase2"
+            if stop_after == "phase2":
+                return None
+
+        if phase == "phase2":
+            evals = jnp.asarray(arrays["cp_eval"])
+            layer_res = list(arrays["layer_res"])
+            layer_levels = list(arrays["layer_levels"])
+            for layer in range(cfg.fri_rounds):
+                beta = channel.get_u32()
+                evals, res, levels = pr._fri_fold(
+                    cfg, layer, evals, pr._mont_scalar(beta)
+                )
+                layer_res.append(np.asarray(res))
+                layer_levels.append([np.asarray(l) for l in levels])
+                channel.commit_hash(pr._root_bytes(levels))
+            free_term = int(layer_res[-1][0])
+            channel.commit_u32(free_term)
+            arrays["layer_res"] = layer_res
+            arrays["layer_levels"] = layer_levels
+            self._save("fri", channel, arrays)
+            phase = "fri"
+            if stop_after == "fri":
+                return None
+
+        if phase == "fri":
+            art = pr.ProverArtifacts()
+            f_tree = merkle.MerkleTree(levels=list(arrays["f_levels"]))
+            trees = [
+                merkle.MerkleTree(levels=list(lv)) for lv in arrays["layer_levels"]
+            ]
+            x = channel.get_u32() % cfg.query_range
+            pr._decommit(
+                cfg,
+                channel,
+                art,
+                arrays["f_res"],
+                f_tree,
+                list(arrays["layer_res"]),
+                trees,
+                x,
+            )
+            state, data = channel.finalize()
+            return Proof(state=state, data=data)
+
+        raise CheckpointError(f"unknown checkpoint phase {phase!r}")

@@ -117,9 +117,12 @@ def _phase1(cfg: StarkConfig, trace_mont):
     return f_eval, f_res, levels
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _phase2(cfg: StarkConfig, f_eval, alphas_mont):
-    """Pointwise constraint composition on the coset (prover.rs:87-180)."""
+def composition_eval(cfg: StarkConfig, f_eval, alphas_mont):
+    """Pointwise constraint composition on the coset (prover.rs:87-180).
+
+    The single source of truth for the phase-2 math — used by the host-synced
+    prover, the fused device-channel prover, and the sharded pipeline. Works
+    on any leading batch shape (last axis = the evaluation domain)."""
     c = composition_constants(cfg)
     b = cfg.blowup
     one_first = jnp.broadcast_to(_mont_scalar(cfg.boundary_first), f_eval.shape)
@@ -127,39 +130,53 @@ def _phase2(cfg: StarkConfig, f_eval, alphas_mont):
 
     c0 = fp.mont_mul(fp.sub(f_eval, one_first), c["inv_first"])
     c1 = fp.mont_mul(fp.sub(f_eval, one_last), c["inv_last"])
-    f_gx = jnp.roll(f_eval, -b)
-    f_ggx = jnp.roll(f_eval, -2 * b)
+    f_gx = jnp.roll(f_eval, -b, axis=-1)
+    f_ggx = jnp.roll(f_eval, -2 * b, axis=-1)
     num2 = fp.sub(
         fp.sub(f_ggx, fp.mont_mul(f_gx, f_gx)), fp.mont_mul(f_eval, f_eval)
     )
     c2 = fp.mont_mul(num2, c["z_inv"])
 
-    cp = fp.add(
-        fp.add(fp.mont_mul(c0, alphas_mont[0]), fp.mont_mul(c1, alphas_mont[1])),
-        fp.mont_mul(c2, alphas_mont[2]),
+    return fp.add(
+        fp.add(
+            fp.mont_mul(c0, alphas_mont[..., 0:1]),
+            fp.mont_mul(c1, alphas_mont[..., 1:2]),
+        ),
+        fp.mont_mul(c2, alphas_mont[..., 2:3]),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _phase2(cfg: StarkConfig, f_eval, alphas_mont):
+    cp = composition_eval(cfg, f_eval, alphas_mont)
     cp_res = fp.from_mont(cp)
     levels = merkle.build_levels(cp_res)
     return cp, cp_res, levels
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _fri_fold(cfg: StarkConfig, layer: int, evals, beta_mont):
+def fri_fold_eval(cfg: StarkConfig, layer: int, evals, beta_mont, build=None):
     """Evaluation-form FRI fold: P'(x²) = (P(x)+P(−x))/2 + β·(P(x)−P(−x))/(2x).
 
     Identical to the reference's coefficient fold (polynomial.rs:385-400) on
     the halved-and-squared domain — the identity its verifier checks at
-    proof.rs:107-113."""
+    proof.rs:107-113. Returns (folded_evals, residues, merkle levels).
+
+    Last axis = the layer domain; leading axes are batch proofs (beta_mont
+    must then carry matching leading axes). `build` overrides the Merkle
+    builder (the batched prover passes its leading-axis-aware twin)."""
     inv_x = fri_layer_constants(cfg, layer)
-    half = evals.shape[0] // 2
-    a, b = evals[:half], evals[half:]
+    half = evals.shape[-1] // 2
+    a, b = evals[..., :half], evals[..., half:]
     inv2 = _mont_scalar(_INV2)
     even = fp.mont_mul(fp.add(a, b), inv2)
     odd = fp.mont_mul(fp.mont_mul(fp.sub(a, b), inv2), inv_x)
     folded = fp.add(even, fp.mont_mul(odd, beta_mont))
     res = fp.from_mont(folded)
-    levels = merkle.build_levels(res)
+    levels = (build or merkle.build_levels)(res)
     return folded, res, levels
+
+
+_fri_fold = jax.jit(fri_fold_eval, static_argnums=(0, 1))
 
 
 def _root_bytes(levels) -> bytes:
@@ -177,58 +194,13 @@ class ProverArtifacts:
         self.query_index = None
 
 
-def prove(
-    cfg: StarkConfig = StarkConfig(),
-    secret: int = 3141592,
-    channel: Channel | None = None,
-    artifacts: ProverArtifacts | None = None,
-) -> Proof:
-    """Generate a proof byte-identical to the reference's generate_proof
-    (prover.rs:9-293) for the same config and witness."""
-    channel = channel or Channel()
-    art = artifacts if artifacts is not None else ProverArtifacts()
+class DeviceChannelMismatch(RuntimeError):
+    """The device-derived Fiat-Shamir chain disagreed with the host replay."""
 
-    # ---- Phase 1: trace → LDE → commit (prover.rs:24-85) ----
-    trace = air.fibonacci_sq_trace(cfg.trace_len, secret)
-    if int(trace[-1]) != cfg.boundary_last:
-        raise ValueError(
-            "witness does not satisfy the public boundary: trace endpoint "
-            f"{int(trace[-1])} != {cfg.boundary_last}"
-        )
-    trace_mont = jnp.asarray(fp.host_to_mont(trace))
-    f_eval, f_res, f_levels = _phase1(cfg, trace_mont)
-    f_tree = merkle.MerkleTree(levels=f_levels)
-    channel.commit_hash(_root_bytes(f_levels))
 
-    # ---- Phase 2: composition (prover.rs:87-180) ----
-    alphas = [channel.get_u32() for _ in range(3)]
-    alphas_mont = jnp.stack([_mont_scalar(a) for a in alphas])
-    cp_eval, cp_res, cp_levels = _phase2(cfg, f_eval, alphas_mont)
-    channel.commit_hash(_root_bytes(cp_levels))
-
-    # ---- Phase 3: FRI (prover.rs:182-254) ----
-    layer_res = [cp_res]
-    layer_trees = [merkle.MerkleTree(levels=cp_levels)]
-    evals = cp_eval
-    for layer in range(cfg.fri_rounds):
-        beta = channel.get_u32()
-        evals, res, levels = _fri_fold(cfg, layer, evals, _mont_scalar(beta))
-        layer_res.append(res)
-        layer_trees.append(merkle.MerkleTree(levels=levels))
-        channel.commit_hash(_root_bytes(levels))
-    free_term = int(np.asarray(layer_res[-1][0]))
-    channel.commit_u32(free_term)
-
-    # ---- Phase 4: decommit one query (prover.rs:256-289) ----
-    # One bulk device→host transfer for everything decommitment needs (~1 MB);
-    # per-element fetches would cost hundreds of host round trips.
-    f_res_h, f_levels_h, layer_res_h, layer_levels_h = jax.device_get(
-        (f_res, f_tree.levels, layer_res, [t.levels for t in layer_trees])
-    )
-    f_tree_h = merkle.MerkleTree(levels=f_levels_h)
-    trees_h = [merkle.MerkleTree(levels=lv) for lv in layer_levels_h]
-
-    x = channel.get_u32() % cfg.query_range
+def _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, x):
+    """Phase 4: one query, 4 trace openings + per-layer pair openings
+    (prover.rs:256-289). All inputs are host arrays — zero device syncs."""
     b = cfg.blowup
     for idx in (x, x + b, x + 2 * b):
         channel.commit_bytes(
@@ -249,10 +221,104 @@ def prove(
                 trees_h[layer].auth_path(nxi),
             )
         )
-
     art.f_res, art.f_tree = f_res_h, f_tree_h
     art.layer_res, art.layer_trees = layer_res_h, trees_h
     art.query_index = x
+
+
+def _trace_to_device(cfg: StarkConfig, secret: int):
+    trace = air.fibonacci_sq_trace(cfg.trace_len, secret)
+    if int(trace[-1]) != cfg.boundary_last:
+        raise ValueError(
+            "witness does not satisfy the public boundary: trace endpoint "
+            f"{int(trace[-1])} != {cfg.boundary_last}"
+        )
+    return jnp.asarray(fp.host_to_mont(trace))
+
+
+def prove(
+    cfg: StarkConfig = StarkConfig(),
+    secret: int = 3141592,
+    channel: Channel | None = None,
+    artifacts: ProverArtifacts | None = None,
+    fused: bool = True,
+) -> Proof:
+    """Generate a proof byte-identical to the reference's generate_proof
+    (prover.rs:9-293) for the same config and witness.
+
+    fused=True (default): phases 1-3 and all challenge derivation run as ONE
+    XLA program with the channel chain on device (protocol/fused.py); the host
+    replays the ~40-hash transcript from the fetched roots and asserts every
+    challenge matches — a per-proof cross-check of the device chain.
+    fused=False: the legacy host-synced path (one round trip per challenge)."""
+    channel = channel or Channel()
+    art = artifacts if artifacts is not None else ProverArtifacts()
+    trace_mont = _trace_to_device(cfg, secret)
+
+    if fused:
+        from zkstark_tpu.protocol import fused as fused_mod
+
+        out = jax.device_get(fused_mod.fused_core(cfg, trace_mont))
+        roots = out["roots"]
+        channel.commit_hash(sha256.digest_to_bytes(roots[0]))
+        for k in range(3):
+            a = channel.get_u32()
+            if a != int(out["alphas"][k]):
+                raise DeviceChannelMismatch(f"alpha[{k}]")
+        channel.commit_hash(sha256.digest_to_bytes(roots[1]))
+        for layer in range(cfg.fri_rounds):
+            beta = channel.get_u32()
+            if beta != int(out["betas"][layer]):
+                raise DeviceChannelMismatch(f"beta[{layer}]")
+            channel.commit_hash(sha256.digest_to_bytes(roots[2 + layer]))
+        channel.commit_u32(int(out["free_term"]))
+        x = channel.get_u32() % cfg.query_range
+        if x != int(out["query"]):
+            raise DeviceChannelMismatch("query index")
+
+        f_tree_h = merkle.MerkleTree(levels=out["f_levels"])
+        trees_h = [merkle.MerkleTree(levels=lv) for lv in out["layer_levels"]]
+        _decommit(
+            cfg, channel, art, out["f_res"], f_tree_h, out["layer_res"], trees_h, x
+        )
+        state, data = channel.finalize()
+        return Proof(state=state, data=data)
+
+    # ---- Legacy host-synced path ----
+    # Phase 1: trace → LDE → commit (prover.rs:24-85)
+    f_eval, f_res, f_levels = _phase1(cfg, trace_mont)
+    f_tree = merkle.MerkleTree(levels=f_levels)
+    channel.commit_hash(_root_bytes(f_levels))
+
+    # Phase 2: composition (prover.rs:87-180)
+    alphas = [channel.get_u32() for _ in range(3)]
+    alphas_mont = jnp.stack([_mont_scalar(a) for a in alphas])
+    cp_eval, cp_res, cp_levels = _phase2(cfg, f_eval, alphas_mont)
+    channel.commit_hash(_root_bytes(cp_levels))
+
+    # Phase 3: FRI (prover.rs:182-254)
+    layer_res = [cp_res]
+    layer_trees = [merkle.MerkleTree(levels=cp_levels)]
+    evals = cp_eval
+    for layer in range(cfg.fri_rounds):
+        beta = channel.get_u32()
+        evals, res, levels = _fri_fold(cfg, layer, evals, _mont_scalar(beta))
+        layer_res.append(res)
+        layer_trees.append(merkle.MerkleTree(levels=levels))
+        channel.commit_hash(_root_bytes(levels))
+    free_term = int(np.asarray(layer_res[-1][0]))
+    channel.commit_u32(free_term)
+
+    # Phase 4: one bulk device→host transfer for everything decommitment
+    # needs (~1 MB); per-element fetches would cost hundreds of round trips.
+    f_res_h, f_levels_h, layer_res_h, layer_levels_h = jax.device_get(
+        (f_res, f_tree.levels, layer_res, [t.levels for t in layer_trees])
+    )
+    f_tree_h = merkle.MerkleTree(levels=f_levels_h)
+    trees_h = [merkle.MerkleTree(levels=lv) for lv in layer_levels_h]
+
+    x = channel.get_u32() % cfg.query_range
+    _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, x)
 
     state, data = channel.finalize()
     return Proof(state=state, data=data)

@@ -2,11 +2,15 @@
 
 The channel (channel.rs:19-32) is a serial SHA-256 chain; run on the host it
 forces a device→host→device round trip at every phase boundary (13 per proof).
-Running the same chain *on device* — state as an (8,) uint32 word vector,
+Running the same chain *on device* — state as an (…, 8) uint32 word vector,
 commits as one or two SHA-256 compressions — lets the whole prover (phases
 1–3 and every challenge derivation) compile into ONE XLA program with a single
-host sync at the end. The chain is ~40 scalar-width hashes; its compute is
-trivial, its value is eliminating latency.
+host sync at the end (protocol/fused.py). The chain is ~40 scalar-width
+hashes; its compute is trivial, its value is eliminating latency.
+
+All functions treat the LAST axis as the state/digest words; leading axes are
+independent channels — B data-parallel proofs run B chains in lockstep
+(protocol/batch.py).
 
 Byte conventions preserved exactly:
   * state words = the 32-byte state interpreted as 8 big-endian u32s (the
@@ -21,23 +25,20 @@ Byte conventions preserved exactly:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from zkstark_tpu.field import fp
 from zkstark_tpu.hash import sha256
 
-_H0 = None
-
-
+# numpy constants: safe to close over inside any jit trace (a cached jnp
+# array created during one trace would leak that trace's tracer into the next)
 def _h0():
-    global _H0
-    if _H0 is None:
-        _H0 = jnp.asarray(sha256._H0)
-    return _H0
+    return sha256._H0
 
 
-def zero_state():
+def zero_state(batch_shape: tuple = ()):
     """The channel's initial all-zero 32-byte state (channel.rs:13-16)."""
-    return jnp.zeros((8,), dtype=jnp.uint32)
+    return jnp.zeros(batch_shape + (8,), dtype=jnp.uint32)
 
 
 def bswap32(x):
@@ -49,51 +50,50 @@ def bswap32(x):
     )
 
 
-_PAD512 = None
+_PAD512_NP = np.zeros(16, dtype=np.uint32)
+_PAD512_NP[0] = 0x80000000
+_PAD512_NP[15] = 512
 
 
 def _pad512():
-    global _PAD512
-    if _PAD512 is None:
-        import numpy as np
-
-        blk = np.zeros(16, dtype=np.uint32)
-        blk[0] = 0x80000000
-        blk[15] = 512
-        _PAD512 = jnp.asarray(blk)
-    return _PAD512
+    return _PAD512_NP
 
 
 def absorb_hash(state, digest):
     """state' = SHA256(state ‖ digest): 64-byte message, two compressions."""
-    block = jnp.concatenate([state, digest])
+    block = jnp.concatenate([state, digest], axis=-1)
     mid = sha256.compress(_h0(), block)
-    return sha256.compress(mid, _pad512())
+    return sha256.compress(mid, jnp.broadcast_to(_pad512(), state.shape[:-1] + (16,)))
 
 
 def absorb_u32_le(state, word):
-    """state' = SHA256(state ‖ LE(word)): 36-byte message, one compression."""
-    z = jnp.zeros((1,), dtype=jnp.uint32)
+    """state' = SHA256(state ‖ LE(word)): 36-byte message, one compression.
+
+    word: scalar or batch matching state's leading axes."""
+    lead = state.shape[:-1]
+    w = jnp.broadcast_to(bswap32(jnp.asarray(word, dtype=jnp.uint32)), lead)
+    z = jnp.zeros(lead + (1,), dtype=jnp.uint32)
     block = jnp.concatenate(
         [
             state,
-            bswap32(word).reshape(1),
-            jnp.full((1,), 0x80000000, dtype=jnp.uint32),
+            w[..., None],
+            jnp.full(lead + (1,), 0x80000000, dtype=jnp.uint32),
             z,
             z,
             z,
             z,
             z,
-            jnp.full((1,), 36 * 8, dtype=jnp.uint32),
-        ]
+            jnp.full(lead + (1,), 36 * 8, dtype=jnp.uint32),
+        ],
+        axis=-1,
     )
     return sha256.compress(_h0(), block)
 
 
 def draw_u32(state):
     """(draw, state'): draw = state word 0, then self-commit its LE bytes
-    (channel.rs:28-32)."""
-    draw = state[0]
+    (channel.rs:28-32). draw has the state's leading (batch) shape."""
+    draw = state[..., 0]
     return draw, absorb_u32_le(state, draw)
 
 
