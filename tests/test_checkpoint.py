@@ -38,17 +38,32 @@ def test_uninterrupted_resumable_matches(tmp_path, small_cfg, golden_proof):
     assert proof.data == golden_proof.data
 
 
-def test_corrupt_checkpoint_rejected(tmp_path, small_cfg):
+@pytest.mark.parametrize("key", ["__data__", "f_eval", "f_res"])
+def test_corrupt_checkpoint_rejected(tmp_path, small_cfg, key):
+    """Flipping one byte anywhere — transcript OR a bulk device array — must
+    fail the integrity digest (a corrupt f_eval would otherwise resume
+    silently into an invalid proof)."""
     path = str(tmp_path / "ckpt.npz")
     rp = checkpoint.ResumableProver(small_cfg, 3141592, path)
     rp.run(stop_after="phase1")
-    # flip one transcript byte inside the npz
-    import zipfile
-
     with np.load(path) as z:
         flat = {k: z[k] for k in z.files}
-    flat["__data__"] = flat["__data__"].copy()
-    flat["__data__"][0] ^= 1
+    arr = flat[key].copy()
+    arr.reshape(-1).view(np.uint8)[0] ^= 1
+    flat[key] = arr
     np.savez(path, **flat)
+    with pytest.raises(checkpoint.CheckpointError):
+        checkpoint.load(path)
+
+
+def test_truncated_checkpoint_rejected(tmp_path, small_cfg):
+    """A torn file (the crash-mid-save scenario) raises CheckpointError, not
+    a raw zipfile error."""
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path)
+    rp.run(stop_after="phase1")
+    blob = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) // 2])
     with pytest.raises(checkpoint.CheckpointError):
         checkpoint.load(path)

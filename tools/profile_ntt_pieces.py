@@ -31,13 +31,13 @@ def main():
     bits = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     n = 1 << bits
     w = fp.subgroup_generator(n)
-    n1, n2, tw1, tw2, br1, br2, t = ntt_kernel._fourstep_constants(n, w, None)
+    n1, n2, tw1, tw2, br1, br2, u, v_tw = ntt_kernel._fourstep_constants(n, w, None)
     print(f"n=2^{bits} n1={n1} n2={n2}", flush=True)
     x2 = (jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(fp.P)).reshape(n1, n2)
 
     timed("brtake_rows", lambda v: jnp.take(v, br1, axis=0), x2)
     timed("cols_kernel1", lambda v: ntt_kernel._ntt_cols_call(v, tw1, False), x2)
-    timed("twiddle_mul", lambda v: fp.mont_mul(v, t), x2)
+    timed("twiddle_uv", lambda v: ntt_kernel._apply_twiddle(v, u, v_tw), x2)
     timed("transpose_brtake", lambda v: jnp.take(v.T, br2, axis=0).reshape(n1, n2), x2)
     timed("transpose_only", lambda v: v.T.reshape(n1, n2), x2)
     timed(

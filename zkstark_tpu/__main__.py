@@ -5,8 +5,8 @@ flags. This entry point does the same by default and adds the config surface
 the reference lacks (SURVEY.md §5 config):
 
     python -m zkstark_tpu prove   [--out proof.bin] [--secret N] [--trace-len N]
-                                  [--blowup N] [--json]
-    python -m zkstark_tpu verify  proof.bin [--json]
+                                  [--blowup N] [--boundary-last N] [--json]
+    python -m zkstark_tpu verify  proof.bin [--boundary-last N] [--json]
     python -m zkstark_tpu run     # prove + verify in one process (main.rs behavior)
 """
 
@@ -18,7 +18,7 @@ import sys
 import time
 
 
-def _build_cfg(args) -> "StarkConfig":
+def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
     from zkstark_tpu.protocol.config import StarkConfig
 
     kw = {}
@@ -26,6 +26,17 @@ def _build_cfg(args) -> "StarkConfig":
         kw["trace_len"] = args.trace_len
     if args.blowup is not None:
         kw["blowup"] = args.blowup
+    if getattr(args, "boundary_last", None) is not None:
+        kw["boundary_last"] = args.boundary_last
+    elif secret is not None and (kw or secret != 3141592):
+        # Proving side: the public output is derived from the witness the
+        # prover already knows (trace endpoint). Verifiers of a non-default
+        # statement must pass --boundary-last explicitly (it is the public
+        # input; prove prints it).
+        from zkstark_tpu.protocol.air import fibonacci_sq_trace
+
+        trace_len = kw.get("trace_len", StarkConfig.trace_len)
+        kw["boundary_last"] = int(fibonacci_sq_trace(trace_len, secret)[-1])
     return StarkConfig(**kw)
 
 
@@ -40,9 +51,13 @@ def _emit(args, payload: dict):
 def cmd_prove(args) -> int:
     from zkstark_tpu.protocol.prover import prove
 
-    cfg = _build_cfg(args)
+    cfg = _build_cfg(args, secret=args.secret)
     t0 = time.perf_counter()
-    proof = prove(cfg, secret=args.secret)
+    try:
+        proof = prove(cfg, secret=args.secret)
+    except ValueError as e:
+        _emit(args, {"error": str(e)})
+        return 1
     dt = time.perf_counter() - t0
     with open(args.out, "wb") as f:
         f.write(proof.to_bytes())
@@ -51,6 +66,7 @@ def cmd_prove(args) -> int:
         {
             "prover_runtime_seconds": round(dt, 4),
             "proof_size_bytes": proof.size(),
+            "boundary_last": cfg.boundary_last,
             "out": args.out,
         },
     )
@@ -87,9 +103,13 @@ def cmd_run(args) -> int:
     from zkstark_tpu.protocol.prover import prove
     from zkstark_tpu.protocol.verifier import verify
 
-    cfg = _build_cfg(args)
+    cfg = _build_cfg(args, secret=args.secret)
     t0 = time.perf_counter()
-    proof = prove(cfg, secret=args.secret)
+    try:
+        proof = prove(cfg, secret=args.secret)
+    except ValueError as e:
+        _emit(args, {"error": str(e)})
+        return 1
     t1 = time.perf_counter()
     report = verify(proof, cfg)
     t2 = time.perf_counter()
@@ -110,6 +130,13 @@ def main(argv=None) -> int:
     ap.add_argument("--json", action="store_true", help="machine-readable output")
     ap.add_argument("--trace-len", type=int, default=None)
     ap.add_argument("--blowup", type=int, default=None)
+    ap.add_argument(
+        "--boundary-last",
+        type=int,
+        default=None,
+        help="public output a[trace_len-1]; derived from the witness when "
+        "proving, required when verifying a non-default statement",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("prove", help="generate a proof and write it to a file")

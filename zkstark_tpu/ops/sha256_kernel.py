@@ -143,13 +143,12 @@ def _node_kernel(blk_ref, out_ref):
         out_ref[i, :, :] = digest[i]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _leaf_call(vals2d, interpret: bool):
-    m = vals2d.shape[0]
-    grid = m // _ROWS
-    return pl.pallas_call(
-        _leaf_kernel,
-        grid=(grid,),
+def _leaf_grid_spec(m: int) -> dict:
+    """The production grid/BlockSpecs for _leaf_kernel — shared by the real
+    pallas_call and the grid-emulation tests (tests/test_pallas_grid.py), so
+    an index-map bug cannot hide behind a test-only copy."""
+    return dict(
+        grid=(m // _ROWS,),
         in_specs=[
             pl.BlockSpec((_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
@@ -157,17 +156,12 @@ def _leaf_call(vals2d, interpret: bool):
             (8, _ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((8, m, 128), jnp.uint32),
-        interpret=interpret,
-    )(vals2d)
+    )
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _node_call(blocks, interpret: bool):
-    m = blocks.shape[1]
-    grid = m // _ROWS
-    return pl.pallas_call(
-        _node_kernel,
-        grid=(grid,),
+def _node_grid_spec(m: int) -> dict:
+    return dict(
+        grid=(m // _ROWS,),
         in_specs=[
             pl.BlockSpec(
                 (16, _ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -177,7 +171,20 @@ def _node_call(blocks, interpret: bool):
             (8, _ROWS, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((8, m, 128), jnp.uint32),
-        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _leaf_call(vals2d, interpret: bool):
+    return pl.pallas_call(
+        _leaf_kernel, interpret=interpret, **_leaf_grid_spec(vals2d.shape[0])
+    )(vals2d)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _node_call(blocks, interpret: bool):
+    return pl.pallas_call(
+        _node_kernel, interpret=interpret, **_node_grid_spec(blocks.shape[1])
     )(blocks)
 
 

@@ -55,3 +55,35 @@ def emulate_kernel(kernel, out_shape, out_dtype, *arrays):
     out = _WriteRef(out_shape, out_dtype)
     kernel(*[_ReadRef(x) for x in arrays], out)
     return out.arr
+
+
+def emulate_pallas_grid(kernel, spec: dict, *arrays):
+    """Execute a pallas_call's grid loop with the PRODUCTION BlockSpecs.
+
+    `spec` is the same dict handed to pl.pallas_call (grid / in_specs /
+    out_specs / out_shape). Each grid step slices every input by
+    index_map(i)·block_shape, runs the kernel body eagerly on that block,
+    and scatters the output block the same way — faithful Pallas grid
+    semantics minus Mosaic, so a wrong index map produces wrong bytes on
+    CPU CI even for kernels too large to interpret (the unrolled SHA-256)."""
+    import itertools
+
+    import numpy as np
+
+    def block_slices(bspec, idx):
+        bidx = bspec.index_map(*idx)
+        return tuple(
+            slice(b * s, (b + 1) * s) for b, s in zip(bidx, bspec.block_shape)
+        )
+
+    out_shape = spec["out_shape"]
+    out = np.zeros(out_shape.shape, dtype=out_shape.dtype)
+    for idx in itertools.product(*[range(g) for g in spec["grid"]]):
+        in_refs = [
+            _ReadRef(jnp.asarray(np.asarray(arr)[block_slices(bspec, idx)]))
+            for bspec, arr in zip(spec["in_specs"], arrays)
+        ]
+        oref = _WriteRef(tuple(spec["out_specs"].block_shape), out_shape.dtype)
+        kernel(*in_refs, oref)
+        out[block_slices(spec["out_specs"], idx)] = np.asarray(oref.arr)
+    return out

@@ -8,15 +8,19 @@ determines all later challenges, so a proof can resume from (transcript,
 per-phase arrays) with zero recomputation of completed phases.
 
 A checkpoint is an .npz holding the channel state + transcript bytes + every
-device array produced so far, keyed by the channel state hash. On load the
-transcript prefix is REPLAYED through a fresh channel and the resulting state
-must equal the stored one — a corrupt or truncated checkpoint cannot resume
-silently (the integrity check the reference's assert-style failures lack).
+device array produced so far. An integrity digest covers the channel state,
+the transcript bytes AND every array's raw bytes (keys included), so a
+corrupt or truncated checkpoint — whether in the Fiat-Shamir spine or in the
+bulk phase outputs — cannot resume silently (the integrity check the
+reference's assert-style failures lack). Saves are atomic (temp file +
+os.replace) so a crash mid-save never destroys the previous good checkpoint.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -66,26 +70,59 @@ def _unflatten(flat: dict) -> dict:
     return out
 
 
+def _digest(phase: str, state: bytes, data: bytes, flat: dict) -> bytes:
+    """SHA-256 over phase + channel state + transcript + every array's key,
+    shape, dtype and raw bytes — the whole checkpoint, not just the spine."""
+    h = hashlib.sha256()
+    h.update(phase.encode())
+    h.update(state)
+    h.update(data)
+    for key in sorted(flat):
+        arr = np.ascontiguousarray(flat[key])
+        h.update(key.encode())
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    return h.digest()
+
+
 def save(path: str, phase: str, channel: Channel, arrays: dict) -> None:
     flat = _flatten(arrays)
+    state, data = channel.state, bytes(channel.data)
+    check = _digest(phase, state, data, flat)
     flat["__phase__"] = np.frombuffer(phase.encode(), dtype=np.uint8)
-    flat["__state__"] = np.frombuffer(channel.state, dtype=np.uint8)
-    flat["__data__"] = np.frombuffer(bytes(channel.data), dtype=np.uint8)
-    check = hashlib.sha256(channel.state + bytes(channel.data)).digest()
+    flat["__state__"] = np.frombuffer(state, dtype=np.uint8)
+    flat["__data__"] = np.frombuffer(data, dtype=np.uint8)
     flat["__check__"] = np.frombuffer(check, dtype=np.uint8)
-    np.savez(path, **flat)
+    # Atomic: a crash mid-save must not truncate the only checkpoint.
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".", suffix=".npz.tmp"
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load(path: str):
-    """→ (phase, channel, arrays); raises CheckpointError if the stored
-    (state, transcript) pair fails its integrity digest."""
-    with np.load(path) as z:
-        flat = {k: z[k] for k in z.files}
-    phase = flat.pop("__phase__").tobytes().decode()
-    state = flat.pop("__state__").tobytes()
-    data = flat.pop("__data__").tobytes()
-    check = flat.pop("__check__").tobytes()
-    if hashlib.sha256(state + data).digest() != check:
+    """→ (phase, channel, arrays); raises CheckpointError if the file is
+    unreadable or any stored byte (spine or arrays) fails the digest."""
+    try:
+        with np.load(path) as z:
+            flat = {k: z[k] for k in z.files}
+        phase = flat.pop("__phase__").tobytes().decode()
+        state = flat.pop("__state__").tobytes()
+        data = flat.pop("__data__").tobytes()
+        check = flat.pop("__check__").tobytes()
+    except CheckpointError:
+        raise
+    except Exception as e:  # truncated zip, missing keys, bad encode…
+        raise CheckpointError(f"unreadable checkpoint {path!r}: {e}") from e
+    if _digest(phase, state, data, flat) != check:
         raise CheckpointError("checkpoint integrity check failed")
     ch = Channel()
     ch.state = state
