@@ -317,24 +317,165 @@ static void seterr(char *err, size_t cap, const char *msg) {
 }  // namespace
 
 // ---------------------------------------------------------------------------
-// Independent verifier (proof.rs:15-149 semantics + challenge replay)
+// AIR constraint system (deserialized from protocol/air.py serialize_air)
+// ---------------------------------------------------------------------------
+
+namespace airdesc {
+
+// RPN opcodes — keep in sync with protocol/air.py (OP_F … OP_MUL)
+enum { OP_F = 0, OP_X = 1, OP_CONST = 2, OP_ADD = 3, OP_SUB = 4, OP_MUL = 5 };
+
+constexpr size_t MAX_SHIFTS = 16;
+constexpr size_t MAX_CONSTRAINTS = 32;
+constexpr size_t MAX_EXEMPT = 16;
+constexpr size_t MAX_PROG = 256;
+
+struct Constraint {
+  bool boundary;
+  // boundary
+  uint64_t step, value;
+  // transition
+  size_t n_exempt;
+  uint64_t exempt[MAX_EXEMPT];
+  size_t n_ops;
+  uint32_t ops[MAX_PROG][2];
+};
+
+struct Air {
+  size_t n_shifts;
+  uint32_t shifts[MAX_SHIFTS];
+  size_t n_constraints;
+  Constraint cons[MAX_CONSTRAINTS];
+  uint32_t max_shift;
+  int shift0;  // index of shift 0 in shifts (boundary constraints read f(x))
+};
+
+// Parse the flat uint32 blob: [n_shifts, shifts…, n_constraints] then per
+// constraint [0, step, value] or [1, n_exempt, exempt…, n_ops, (op,arg)…].
+static bool parse(const uint32_t *w, size_t len, Air &air) {
+  size_t pos = 0;
+  auto next = [&](uint32_t *out) {
+    if (pos >= len) return false;
+    *out = w[pos++];
+    return true;
+  };
+  uint32_t v;
+  if (!next(&v) || v == 0 || v > MAX_SHIFTS) return false;
+  air.n_shifts = v;
+  air.max_shift = 0;
+  air.shift0 = -1;
+  for (size_t i = 0; i < air.n_shifts; i++) {
+    if (!next(&air.shifts[i])) return false;
+    if (air.shifts[i] > air.max_shift) air.max_shift = air.shifts[i];
+    if (air.shifts[i] == 0) air.shift0 = int(i);
+  }
+  if (air.shift0 < 0) return false;
+  if (!next(&v) || v == 0 || v > MAX_CONSTRAINTS) return false;
+  air.n_constraints = v;
+  for (size_t c = 0; c < air.n_constraints; c++) {
+    Constraint &con = air.cons[c];
+    uint32_t kind;
+    if (!next(&kind)) return false;
+    if (kind == 0) {
+      con.boundary = true;
+      uint32_t step, value;
+      if (!next(&step) || !next(&value)) return false;
+      con.step = step;
+      con.value = value;
+    } else if (kind == 1) {
+      con.boundary = false;
+      if (!next(&v) || v > MAX_EXEMPT) return false;
+      con.n_exempt = v;
+      for (size_t e = 0; e < con.n_exempt; e++) {
+        uint32_t ex;
+        if (!next(&ex)) return false;
+        con.exempt[e] = ex;
+      }
+      if (!next(&v) || v == 0 || v > MAX_PROG) return false;
+      con.n_ops = v;
+      for (size_t o = 0; o < con.n_ops; o++)
+        if (!next(&con.ops[o][0]) || !next(&con.ops[o][1])) return false;
+    } else {
+      return false;
+    }
+  }
+  return pos == len;
+}
+
+// Evaluate a transition numerator's RPN program with exact field scalars.
+static bool eval_program(const Constraint &con, const uint64_t *f_vals,
+                         uint64_t x, uint64_t *out) {
+  using namespace field;
+  uint64_t stack[MAX_PROG];
+  size_t sp = 0;
+  for (size_t i = 0; i < con.n_ops; i++) {
+    uint32_t op = con.ops[i][0], arg = con.ops[i][1];
+    switch (op) {
+      case OP_F:
+        if (sp >= MAX_PROG) return false;
+        stack[sp++] = f_vals[arg];
+        break;
+      case OP_X:
+        if (sp >= MAX_PROG) return false;
+        stack[sp++] = x;
+        break;
+      case OP_CONST:
+        if (sp >= MAX_PROG) return false;
+        stack[sp++] = arg % P;
+        break;
+      case OP_ADD:
+      case OP_SUB:
+      case OP_MUL: {
+        if (sp < 2) return false;
+        uint64_t b = stack[--sp];
+        uint64_t a = stack[--sp];
+        stack[sp++] = (op == OP_ADD)   ? (a + b) % P
+                      : (op == OP_SUB) ? sub(a, b)
+                                       : mulmod(a, b);
+        break;
+      }
+      default:
+        return false;
+    }
+  }
+  if (sp != 1) return false;
+  *out = stack[0];
+  return true;
+}
+
+}  // namespace airdesc
+
+// ---------------------------------------------------------------------------
+// Independent verifier (proof.rs:15-149 semantics + challenge replay,
+// generalized to a pluggable AIR and n_queries)
 // ---------------------------------------------------------------------------
 
 extern "C" {
 
 // Returns 0 on success; nonzero error code with message in err.
-// Config mirrors StarkConfig (protocol/config.py).
+// Config mirrors StarkConfig (protocol/config.py); `air_blob`/`air_len` is
+// the uint32 constraint-system description from protocol/air.py
+// serialize_air() — one constraint definition shared with prover + verifier.
 int zk_verify(const uint8_t *final_state, const uint8_t *data, size_t data_len,
               uint32_t trace_len, uint32_t blowup, uint32_t coset_offset,
-              uint32_t boundary_first, uint32_t boundary_last, char *err,
-              size_t err_cap) {
+              uint32_t n_queries, const uint32_t *air_blob, size_t air_len,
+              char *err, size_t err_cap) {
   using namespace field;
+  airdesc::Air air;
+  if (!airdesc::parse(air_blob, air_len, air)) {
+    seterr(err, err_cap, "malformed AIR description");
+    return 7;
+  }
+  if (n_queries == 0 || n_queries > 1024) {
+    seterr(err, err_cap, "bad query count");
+    return 7;
+  }
   const uint64_t n = uint64_t(trace_len) + 1;          // trace domain
   const uint64_t d = n * blowup;                       // eval domain
   // fri_rounds = log2(n)
   uint32_t rounds = 0;
   for (uint64_t t = n; t > 1; t >>= 1) rounds++;
-  const uint64_t query_range = d - 2 * blowup;
+  const uint64_t query_range = d - uint64_t(air.max_shift) * blowup;
 
   Replay ch{};
   ch.r = Reader{data, data_len, 0};
@@ -342,12 +483,15 @@ int zk_verify(const uint8_t *final_state, const uint8_t *data, size_t data_len,
 
   // ---- parse + replay ----
   const uint8_t *f_root = ch.hash32();
-  uint32_t alphas[3];
-  for (int i = 0; i < 3; i++)
-    if (!ch.expect_u32(&alphas[i])) {
+  uint64_t alphas[airdesc::MAX_CONSTRAINTS];
+  for (size_t i = 0; i < air.n_constraints; i++) {
+    uint32_t a;
+    if (!ch.expect_u32(&a)) {
       seterr(err, err_cap, "alpha challenge replay mismatch");
       return 2;
     }
+    alphas[i] = a % P;
+  }
   // roots[0] = cp root; betas[0] unused dummy (proof.rs:27)
   const size_t max_rounds = 40;
   if (rounds > max_rounds) {
@@ -366,86 +510,94 @@ int zk_verify(const uint8_t *final_state, const uint8_t *data, size_t data_len,
     roots[i] = ch.hash32();
   }
   uint32_t free_term = ch.u32_absorb();
-  uint32_t query_raw;
-  if (!ch.expect_u32(&query_raw)) {
-    seterr(err, err_cap, "query challenge replay mismatch");
-    return 2;
-  }
-  uint32_t trace_vals[4];
-  const uint8_t *trace_paths[4];
-  size_t trace_plens[4];
-  for (int i = 0; i < 4; i++)
-    if (!ch.opening(&trace_vals[i], &trace_paths[i], &trace_plens[i])) {
-      seterr(err, err_cap, "bad trace opening");
-      return 1;
+  // all query draws precede the openings (prover.rs:263 generalized)
+  const size_t max_queries = 1024;
+  uint32_t query_raw[max_queries];
+  for (uint32_t q = 0; q < n_queries; q++)
+    if (!ch.expect_u32(&query_raw[q])) {
+      seterr(err, err_cap, "query challenge replay mismatch");
+      return 2;
     }
-  uint32_t fv0[max_rounds], fv1[max_rounds];
-  const uint8_t *fp0[max_rounds], *fp1[max_rounds];
-  size_t fl0[max_rounds], fl1[max_rounds];
-  for (uint32_t i = 0; i < rounds; i++)
-    if (!ch.fri_opening(&fv0[i], &fv1[i], &fp0[i], &fl0[i], &fp1[i], &fl1[i])) {
-      seterr(err, err_cap, "bad FRI opening");
-      return 1;
-    }
-  if (ch.r.fail || !f_root) {
+
+  if (ch.r.fail || !f_root) {  // a nullptr root must never reach memcmp
     seterr(err, err_cap, "transcript truncated");
     return 1;
   }
-  if (ch.r.pos != data_len) {
-    seterr(err, err_cap, "trailing bytes in transcript");
-    return 1;
-  }
-  if (final_state && memcmp(ch.state, final_state, 32) != 0) {
-    seterr(err, err_cap, "final channel state mismatch");
-    return 2;
-  }
 
-  // ---- protocol constants (proof.rs:49-54) ----
+  const size_t n_open = air.n_shifts + 1;  // f(g^k·x) per shift, then cp0(x)
+  const uint64_t inv2 = inv(2);
   const uint64_t g = powmod(5, (P - 1) / n);
   const uint64_t h = powmod(5, (P - 1) / d);
-  const uint64_t test_point = query_raw % query_range;
-  const uint64_t x = mulmod(coset_offset, powmod(h, test_point));
 
-  // ---- composition identity (proof.rs:63-77) ----
-  {
-    uint64_t f_x = trace_vals[0] % P, f_gx = trace_vals[1] % P,
-             f_ggx = trace_vals[2] % P;
-    uint64_t g_m3 = powmod(g, n - 3), g_m2 = powmod(g, n - 2),
-             g_m1 = powmod(g, n - 1);
-    uint64_t p0 = mulmod(sub(f_x, boundary_first), inv(sub(x, 1)));
-    uint64_t p1 = mulmod(sub(f_x, boundary_last), inv(sub(x, g_m2)));
-    uint64_t z = mulmod(sub(powmod(x, n), 1),
-                        inv(mulmod(mulmod(sub(x, g_m3), sub(x, g_m2)),
-                                   sub(x, g_m1))));
-    uint64_t num = sub(sub(f_ggx, mulmod(f_gx, f_gx)), mulmod(f_x, f_x));
-    uint64_t p2 = mulmod(num, inv(z));
-    uint64_t cp0 = (mulmod(alphas[0] % P, p0) + mulmod(alphas[1] % P, p1) +
-                    mulmod(alphas[2] % P, p2)) % P;
-    if (cp0 != trace_vals[3] % P) {
-      seterr(err, err_cap, "composition identity failed at query point");
-      return 3;
-    }
-  }
+  for (uint32_t q = 0; q < n_queries; q++) {
+    uint32_t trace_vals[airdesc::MAX_SHIFTS + 1];
+    const uint8_t *trace_paths[airdesc::MAX_SHIFTS + 1];
+    size_t trace_plens[airdesc::MAX_SHIFTS + 1];
+    for (size_t i = 0; i < n_open; i++)
+      if (!ch.opening(&trace_vals[i], &trace_paths[i], &trace_plens[i])) {
+        seterr(err, err_cap, "bad trace opening");
+        return 1;
+      }
+    uint32_t fv0[max_rounds], fv1[max_rounds];
+    const uint8_t *fp0[max_rounds], *fp1[max_rounds];
+    size_t fl0[max_rounds], fl1[max_rounds];
+    for (uint32_t i = 0; i < rounds; i++)
+      if (!ch.fri_opening(&fv0[i], &fv1[i], &fp0[i], &fl0[i], &fp1[i],
+                          &fl1[i])) {
+        seterr(err, err_cap, "bad FRI opening");
+        return 1;
+      }
 
-  // ---- trace auth paths (proof.rs:80-95) ----
-  {
-    uint8_t root[32];
-    const size_t idx[4] = {test_point, test_point + blowup,
-                           test_point + 2 * blowup, test_point};
-    const uint8_t *want[4] = {f_root, f_root, f_root, roots[0]};
-    for (int i = 0; i < 4; i++) {
-      compute_root_from_path(trace_vals[i], idx[i], trace_paths[i],
-                             trace_plens[i], root);
-      if (memcmp(root, want[i], 32) != 0) {
-        seterr(err, err_cap, "trace auth path mismatch");
-        return 4;
+    const uint64_t test_point = query_raw[q] % query_range;
+    const uint64_t x = mulmod(coset_offset, powmod(h, test_point));
+
+    // ---- composition identity (proof.rs:63-77), AIR-driven ----
+    {
+      uint64_t f_vals[airdesc::MAX_SHIFTS];
+      for (size_t i = 0; i < air.n_shifts; i++) f_vals[i] = trace_vals[i] % P;
+      uint64_t cp0 = 0;
+      for (size_t c = 0; c < air.n_constraints; c++) {
+        const airdesc::Constraint &con = air.cons[c];
+        uint64_t num, den;
+        if (con.boundary) {
+          num = sub(f_vals[air.shift0], con.value % P);
+          den = sub(x, powmod(g, con.step));
+        } else {
+          if (!airdesc::eval_program(con, f_vals, x, &num)) {
+            seterr(err, err_cap, "bad constraint program");
+            return 7;
+          }
+          uint64_t prod = 1;
+          for (size_t e = 0; e < con.n_exempt; e++)
+            prod = mulmod(prod, sub(x, powmod(g, con.exempt[e])));
+          den = mulmod(sub(powmod(x, n), 1), inv(prod));
+        }
+        cp0 = (cp0 + mulmod(mulmod(alphas[c], num), inv(den))) % P;
+      }
+      if (cp0 != trace_vals[n_open - 1] % P) {
+        seterr(err, err_cap, "composition identity failed at query point");
+        return 3;
       }
     }
-  }
 
-  // ---- FRI consistency (proof.rs:101-126) ----
-  {
-    const uint64_t inv2 = inv(2);
+    // ---- trace auth paths (proof.rs:80-95) ----
+    {
+      uint8_t root[32];
+      for (size_t i = 0; i < n_open; i++) {
+        size_t idx = (i < air.n_shifts)
+                         ? size_t(test_point + air.shifts[i] * blowup)
+                         : size_t(test_point);
+        const uint8_t *want = (i < air.n_shifts) ? f_root : roots[0];
+        compute_root_from_path(trace_vals[i], idx, trace_paths[i],
+                               trace_plens[i], root);
+        if (memcmp(root, want, 32) != 0) {
+          seterr(err, err_cap, "trace auth path mismatch");
+          return 4;
+        }
+      }
+    }
+
+    // ---- FRI consistency (proof.rs:101-126) ----
     for (uint32_t layer = 0; layer < rounds; layer++) {
       uint64_t xl = powmod(x, 1ULL << layer);
       uint64_t cpx = fv0[layer] % P, cpnx = fv1[layer] % P;
@@ -458,26 +610,39 @@ int zk_verify(const uint8_t *final_state, const uint8_t *data, size_t data_len,
         return 5;
       }
     }
-  }
 
-  // ---- FRI auth paths (proof.rs:129-148) ----
-  {
-    uint8_t root[32];
-    for (uint32_t layer = 0; layer < rounds; layer++) {
-      uint64_t size = d >> layer;
-      size_t i0 = size_t(test_point % size);
-      size_t i1 = size_t((test_point + size / 2) % size);
-      compute_root_from_path(fv0[layer], i0, fp0[layer], fl0[layer], root);
-      if (memcmp(root, roots[layer], 32) != 0) {
-        seterr(err, err_cap, "FRI auth path mismatch (x)");
-        return 6;
-      }
-      compute_root_from_path(fv1[layer], i1, fp1[layer], fl1[layer], root);
-      if (memcmp(root, roots[layer], 32) != 0) {
-        seterr(err, err_cap, "FRI auth path mismatch (-x)");
-        return 6;
+    // ---- FRI auth paths (proof.rs:129-148) ----
+    {
+      uint8_t root[32];
+      for (uint32_t layer = 0; layer < rounds; layer++) {
+        uint64_t size = d >> layer;
+        size_t i0 = size_t(test_point % size);
+        size_t i1 = size_t((test_point + size / 2) % size);
+        compute_root_from_path(fv0[layer], i0, fp0[layer], fl0[layer], root);
+        if (memcmp(root, roots[layer], 32) != 0) {
+          seterr(err, err_cap, "FRI auth path mismatch (x)");
+          return 6;
+        }
+        compute_root_from_path(fv1[layer], i1, fp1[layer], fl1[layer], root);
+        if (memcmp(root, roots[layer], 32) != 0) {
+          seterr(err, err_cap, "FRI auth path mismatch (-x)");
+          return 6;
+        }
       }
     }
+  }
+
+  if (ch.r.fail || !f_root) {
+    seterr(err, err_cap, "transcript truncated");
+    return 1;
+  }
+  if (ch.r.pos != data_len) {
+    seterr(err, err_cap, "trailing bytes in transcript");
+    return 1;
+  }
+  if (final_state && memcmp(ch.state, final_state, 32) != 0) {
+    seterr(err, err_cap, "final channel state mismatch");
+    return 2;
   }
 
   return 0;

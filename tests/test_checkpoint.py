@@ -67,3 +67,35 @@ def test_truncated_checkpoint_rejected(tmp_path, small_cfg):
         f.write(blob[: len(blob) // 2])
     with pytest.raises(checkpoint.CheckpointError):
         checkpoint.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Fused (default) prover path — checkpoint after the single device program
+# ---------------------------------------------------------------------------
+
+
+def test_fused_resume_small(tmp_path, small_cfg):
+    golden = prove(small_cfg)  # fused=True default
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path, fused=True)
+    assert rp.run(stop_after="fused") is None  # "crash" after device program
+    resumed = checkpoint.ResumableProver(small_cfg, 3141592, path, fused=True).run()
+    assert resumed.data == golden.data
+    assert resumed.state == golden.state
+
+
+def test_fused_resume_stark101_golden(tmp_path):
+    """Kill-and-resume at the full stark-101 config (trace 1023) through the
+    fused default path yields the 7,836-byte golden transcript."""
+    from zkstark_tpu.protocol.config import STARK101, STARK101_SECRET
+
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(STARK101, STARK101_SECRET, path, fused=True)
+    assert rp.run(stop_after="fused") is None
+    resumed = checkpoint.ResumableProver(
+        STARK101, STARK101_SECRET, path, fused=True
+    ).run()
+    assert len(resumed.data) == 7836
+    assert resumed.state.hex() == (
+        "d7eec91544f72a592145e7d505a2f274de740e0319ede8c983fd84c7736f6712"
+    )

@@ -5,8 +5,10 @@ flags. This entry point does the same by default and adds the config surface
 the reference lacks (SURVEY.md §5 config):
 
     python -m zkstark_tpu prove   [--out proof.bin] [--secret N] [--trace-len N]
-                                  [--blowup N] [--boundary-last N] [--json]
-    python -m zkstark_tpu verify  proof.bin [--boundary-last N] [--json]
+                                  [--blowup N] [--boundary-last N] [--queries Q]
+                                  [--air fibonacci-sq|fibonacci] [--json]
+    python -m zkstark_tpu verify  proof.bin [--boundary-last N] [--queries Q]
+                                  [--air ...] [--json]
     python -m zkstark_tpu run     # prove + verify in one process (main.rs behavior)
 """
 
@@ -19,6 +21,7 @@ import time
 
 
 def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
+    from zkstark_tpu.protocol.air import AIRS
     from zkstark_tpu.protocol.config import StarkConfig
 
     kw = {}
@@ -26,6 +29,11 @@ def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
         kw["trace_len"] = args.trace_len
     if args.blowup is not None:
         kw["blowup"] = args.blowup
+    if args.queries is not None:
+        kw["n_queries"] = args.queries
+    air_obj = AIRS[args.air] if args.air is not None else None
+    if air_obj is not None:
+        kw["air"] = air_obj
     if getattr(args, "boundary_last", None) is not None:
         kw["boundary_last"] = args.boundary_last
     elif secret is not None and (kw or secret != 3141592):
@@ -33,10 +41,9 @@ def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
         # prover already knows (trace endpoint). Verifiers of a non-default
         # statement must pass --boundary-last explicitly (it is the public
         # input; prove prints it).
-        from zkstark_tpu.protocol.air import fibonacci_sq_trace
-
         trace_len = kw.get("trace_len", StarkConfig.trace_len)
-        kw["boundary_last"] = int(fibonacci_sq_trace(trace_len, secret)[-1])
+        air = air_obj if air_obj is not None else StarkConfig.air
+        kw["boundary_last"] = int(air.trace(trace_len, secret)[-1])
     return StarkConfig(**kw)
 
 
@@ -131,6 +138,20 @@ def main(argv=None) -> int:
     ap.add_argument("--trace-len", type=int, default=None)
     ap.add_argument("--blowup", type=int, default=None)
     ap.add_argument(
+        "--queries",
+        type=int,
+        default=None,
+        help="FRI query count (default 1, matching the reference's single "
+        "query, prover.rs:263)",
+    )
+    ap.add_argument(
+        "--air",
+        choices=["fibonacci-sq", "fibonacci"],
+        default=None,
+        help="constraint system / witness generator (default fibonacci-sq, "
+        "the reference's statement)",
+    )
+    ap.add_argument(
         "--boundary-last",
         type=int,
         default=None,
@@ -153,6 +174,9 @@ def main(argv=None) -> int:
     r.set_defaults(fn=cmd_run)
 
     args = ap.parse_args(argv)
+    from zkstark_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

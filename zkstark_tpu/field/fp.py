@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -195,6 +196,30 @@ def device_powers(base: int, n: int) -> jnp.ndarray:
         arr = jnp.concatenate([arr, mont_mul(arr, step)], axis=0)
         length *= 2
     return arr
+
+
+def powers_iota(base: int, n: int, scale: int = 1) -> jnp.ndarray:
+    """[scale·base^j for j < n] in Montgomery form, computed ELEMENTWISE from
+    the index bits: base^j = Π_b (base^{2^b})^{j_b}. Unlike device_powers'
+    concat chain, every output element depends only on its own index, so the
+    result shards cleanly under GSPMD (each device materializes exactly its
+    own block — the scaling prerequisite for 2^24 domain constants; the
+    log-doubling concat would replicate or gather). log2(n) selects + mults
+    per element, all fused by XLA into one elementwise kernel."""
+    assert n & (n - 1) == 0
+    bits = max(n.bit_length() - 1, 1)
+    j = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    acc = jnp.full(
+        (n,), jnp.uint32(host_to_mont(np.array([scale % P], np.uint32))[0])
+    )
+    one = jnp.uint32(R_MOD_P)
+    for b in range(bits):
+        step = jnp.uint32(
+            host_to_mont(np.array([pow(base, 1 << b, P)], np.uint32))[0]
+        )
+        factor = jnp.where((j >> b) & 1, step, one)
+        acc = mont_mul(acc, factor)
+    return acc
 
 
 # ---------------------------------------------------------------------------

@@ -52,8 +52,9 @@ def native():
         ctypes.c_uint32,  # trace_len
         ctypes.c_uint32,  # blowup
         ctypes.c_uint32,  # coset_offset
-        ctypes.c_uint32,  # boundary_first
-        ctypes.c_uint32,  # boundary_last
+        ctypes.c_uint32,  # n_queries
+        ctypes.POINTER(ctypes.c_uint32),  # AIR description blob
+        ctypes.c_size_t,  # blob length (u32 words)
         ctypes.c_char_p,  # err buf
         ctypes.c_size_t,
     ]
@@ -76,12 +77,18 @@ def channel_draw(state: bytes) -> tuple:
 
 
 def verify_native(proof, cfg) -> None:
-    """Raise VerificationError if the C++ verifier rejects the proof."""
+    """Raise VerificationError if the C++ verifier rejects the proof.
+
+    The constraint system travels as the serialized AIR blob
+    (protocol/air.py serialize_air) — the same definition the prover and
+    Python verifier consume, interpreted by the C++ RPN evaluator."""
+    from zkstark_tpu.protocol.air import serialize_air
     from zkstark_tpu.protocol.verifier import VerificationError
 
     lib = native()
     if lib is None:
         raise RuntimeError("native library unavailable (no C++ toolchain?)")
+    blob = serialize_air(cfg)
     err = ctypes.create_string_buffer(256)
     rc = lib.zk_verify(
         proof.state,
@@ -90,8 +97,9 @@ def verify_native(proof, cfg) -> None:
         cfg.trace_len,
         cfg.blowup,
         cfg.coset_offset,
-        cfg.boundary_first,
-        cfg.boundary_last,
+        cfg.n_queries,
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(blob),
         err,
         len(err),
     )

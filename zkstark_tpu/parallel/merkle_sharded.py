@@ -18,7 +18,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from zkstark_tpu.hash import merkle, sha256
-from zkstark_tpu.parallel.mesh import DOMAIN_AXIS
+from zkstark_tpu.parallel.mesh import mesh_size
 
 
 def sharded_build_levels(values, mesh: Mesh):
@@ -26,19 +26,21 @@ def sharded_build_levels(values, mesh: Mesh):
 
     Returns the same level list as merkle.build_levels (leaf level first);
     levels at or below the shard size come out block-sharded, the top
-    log2(S) levels replicated."""
+    log2(S) levels replicated. Works on any mesh shape — the domain blocks
+    over the flattened axis product (('host','chip'): ICI before DCN)."""
     n = values.shape[0]
-    s = mesh.shape[DOMAIN_AXIS]
+    s = mesh_size(mesh)
     local_n = n // s
     assert local_n * s == n and local_n >= 1
 
     num_local_levels = local_n.bit_length()  # local leaf level … local root
+    axes = tuple(mesh.axis_names)
 
     local_levels = shard_map(
         lambda v: tuple(merkle.build_levels(v)),
         mesh=mesh,
-        in_specs=P(DOMAIN_AXIS),
-        out_specs=tuple([P(DOMAIN_AXIS, None)] * num_local_levels),
+        in_specs=P(axes),
+        out_specs=tuple([P(axes, None)] * num_local_levels),
     )(values)
 
     levels = list(local_levels)

@@ -47,29 +47,55 @@ def _vandermonde_mont(bases, n: int):
     return v
 
 
+_UBLK = 128  # inner factor of the twiddle factorization (lane width)
+
+
 @functools.lru_cache(maxsize=None)
 def sixstep_constants(n: int, root: int, inverse: bool):
-    """Plans + twiddle matrix for n = n1·n2 (balanced split, n1 ≥ n2)."""
+    """Plans + factored twiddles for n = n1·n2 (balanced split, n1 ≥ n2).
+
+    The step-3 twiddle matrix T[j2, k1] = ω^{j2·k1} is NOT materialized —
+    at n = 2^24 it is a 64 MB replicated constant (the round-2 scaling
+    blocker). Split k1 = 128·kh + kl for the exact rank factorization
+        T[j2, k1] = U[j2, kh] · V[j2, kl],
+    U = (ω^{128})^{j2·kh} (n2 × n1/128), V = ω^{j2·kl} (n2 × 128) — two
+    row-indexed tables ~1000× smaller, sharding along j2 like the data
+    (the same trick as ops/ntt_kernel.py:120-146)."""
     with jax.ensure_compile_time_eval():
         bits = n.bit_length() - 1
         b1 = (bits + 1) // 2
         n1, n2 = 1 << b1, 1 << (bits - b1)
+        blk = min(_UBLK, n1)  # tiny transforms: full Vandermonde is fine
         w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
         # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
         inner = ntt.make_plan(n1, pow(w, n2, fp.P))
         outer = ntt.make_plan(n2, pow(w, n1, fp.P))
-        # twiddle matrix (n2, n1): ω^{j2·k1} — one jitted program, not a
-        # dispatch per doubling step
-        tw = jax.jit(
-            lambda: _vandermonde_mont(fp.device_powers(w, n2), n1)
-        )()
+
+        def build_uv():
+            rows = fp.powers_iota(w, n2)  # ω^{j2}, elementwise (shardable)
+            v = _vandermonde_mont(rows, blk)  # (n2, blk): ω^{j2·kl}
+            rows_blk = fp.pow_static(rows, blk)  # (ω^{blk})^{j2}
+            u = _vandermonde_mont(rows_blk, n1 // blk)  # (n2, n1/blk)
+            return u, v
+
+        u, v = jax.jit(build_uv)()
         scale = None
         if inverse:
             import numpy as np
 
             n_inv = pow(n, fp.P - 2, fp.P)
             scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
-        return n1, n2, inner, outer, tw, scale
+        return n1, n2, inner, outer, u, v, scale
+
+
+def _apply_twiddle_rows(a, u, v):
+    """a[j2, k1] · ω^{j2·k1} via the U·V factorization (fused elementwise).
+    a is (n2, n1); row axis may be sharded — u, v are row-indexed too."""
+    n2, n1 = a.shape
+    blk = v.shape[-1]
+    a3 = a.reshape(n2, n1 // blk, blk)
+    a3 = fp.mont_mul(fp.mont_mul(a3, u[:, :, None]), v[:, None, :])
+    return a3.reshape(n2, n1)
 
 
 def ntt_sixstep(
@@ -81,7 +107,7 @@ def ntt_sixstep(
 ):
     """Size-n transform of a flat Montgomery vector, natural order in/out,
     bit-identical to ntt.ntt / ntt.intt, sharded over `mesh` when given."""
-    n1, n2, inner, outer, tw, scale = sixstep_constants(n, root, inverse)
+    n1, n2, inner, outer, u, v, scale = sixstep_constants(n, root, inverse)
 
     def constrain(arr, ndim):
         if mesh is not None:
@@ -93,7 +119,7 @@ def ntt_sixstep(
     xm = constrain(x.reshape(n1, n2), 2)
     xt = constrain(xm.T, 2)  # all_to_all
     a = ntt.ntt(xt, inner)  # local row NTTs (n2 rows of length n1)
-    a = fp.mont_mul(a, tw)
+    a = _apply_twiddle_rows(a, u, v)
     b = constrain(a.T, 2)  # all_to_all
     c = ntt.ntt(b, outer)  # local row NTTs (n1 rows of length n2)
     out = constrain(c.T, 2).reshape(n)  # final transpose → natural order
@@ -110,5 +136,7 @@ def coset_ntt_sixstep(coeffs, n: int, offset: int, mesh: Mesh | None = None):
         coeffs = jnp.concatenate(
             [coeffs, jnp.zeros(n - k, dtype=jnp.uint32)], axis=-1
         )
-    scaled = fp.mont_mul(coeffs, fp.device_powers(offset, n))
+    # powers_iota: elementwise offset^j — shards with the coeff vector
+    # (device_powers' concat chain would force a replicated 4n-byte constant)
+    scaled = fp.mont_mul(coeffs, fp.powers_iota(offset, n))
     return ntt_sixstep(scaled, n, fp.subgroup_generator(n), mesh=mesh)

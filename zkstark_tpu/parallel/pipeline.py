@@ -21,7 +21,7 @@ from zkstark_tpu.field import fp
 from zkstark_tpu.hash import merkle
 from zkstark_tpu.parallel.fri_sharded import fold_sharded
 from zkstark_tpu.parallel.merkle_sharded import sharded_build_levels
-from zkstark_tpu.parallel.mesh import DOMAIN_AXIS, vec_sharding
+from zkstark_tpu.parallel.mesh import mesh_size, vec_sharding
 from zkstark_tpu.parallel.ntt_sharded import coset_ntt_sixstep
 from zkstark_tpu.protocol import air
 from zkstark_tpu.protocol import prover as pr
@@ -42,7 +42,7 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
     shard_ok = mesh is not None
 
     def build_levels(res):
-        if shard_ok and res.shape[0] >= mesh.shape[DOMAIN_AXIS]:
+        if shard_ok and res.shape[0] >= mesh_size(mesh):
             return sharded_build_levels(res, mesh)
         return merkle.build_levels(res)
 
@@ -78,7 +78,7 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
                 betas_mont[layer],
                 layer_inv_x[layer],
                 inv2,
-                mesh=mesh if shard_ok and evals.shape[0] // 2 >= mesh.shape[DOMAIN_AXIS] else None,
+                mesh=mesh if shard_ok and evals.shape[0] // 2 >= mesh_size(mesh) else None,
             )
             res = fp.from_mont(evals)
             layer_res.append(res)

@@ -1,18 +1,26 @@
-"""AIR (algebraic intermediate representation) framework + the FibonacciSq AIR.
+"""AIR (algebraic intermediate representation) framework + concrete AIRs.
 
 The reference welds its three FibonacciSq constraints into the prover
 (prover.rs:101-145) and duplicates them in the verifier (proof.rs:63-77).
 Here an `Air` is a first-class pluggable object: it generates the witness
 trace and declares an ordered list of constraints — `Boundary(step, value)`
-and `Transition(numerator, exempt)` — from which the framework derives both
-the device-side eval-form composition (batched inversions against
-precomputed vanishing denominators, no polynomial division) and the
-host-side point checks the verifier performs at each query.
+and `Transition(numerator, exempt)` — from which the framework derives ALL
+THREE consumers:
 
-Constraint numerators are written once against an `ops` namespace (mul/add/
-sub/const) and run in two modes: vectorized Montgomery arrays on device, and
-exact Python ints mod p on the verifier host — one source of truth for the
-protocol math.
+  * the device-side eval-form composition (batched inversions against
+    precomputed vanishing denominators, no polynomial division) —
+    prover.composition_eval;
+  * the host-side exact point checks the Python verifier performs at each
+    query — composition_at_point below;
+  * the constraint bytecode the independent C++ verifier interprets
+    (serialize_air below → native/zkstark_native.cpp).
+
+Constraint numerators are written once as a function of an `ops` namespace
+(mul/add/sub/const) plus accessors f(k) = f(g^k·x) and the domain point x.
+The same function runs in three modes: vectorized Montgomery arrays on
+device, exact Python ints mod p on the verifier host, and a recording tracer
+that emits an RPN program for the native verifier — one source of truth for
+the protocol math.
 
 Reference semantics for FibonacciSq: prover.rs:32-39 builds a 1023-step trace
 a[0]=1, a[1]=secret, a[i]=a[i-2]²+a[i-1]², then Lagrange-interpolates through
@@ -34,6 +42,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +50,155 @@ import numpy as np
 
 from zkstark_tpu.field import fp
 from zkstark_tpu import ntt
+
+
+# ---------------------------------------------------------------------------
+# Constraint objects
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Boundary:
+    """c(x) = (f(x) − value) / (x − g^step): the trace equals `value` at
+    trace step `step` (reference c0/c1, prover.rs:101-113)."""
+
+    step: int
+    value: int
+
+
+@dataclass(frozen=True)
+class Transition:
+    """c(x) = numerator(ops, f, x) / Z(x) with the vanishing polynomial
+    Z = (x^n − 1) / Π_{e ∈ exempt} (x − g^e): the recurrence `numerator`
+    holds at every trace step except the `exempt` ones (reference c2,
+    prover.rs:134-145).
+
+    `numerator` is called as numerator(ops, f, x) where f(k) yields the
+    shifted trace polynomial f(g^k·x) and ops supplies mul/add/sub/const.
+    It must be a pure algebraic expression in those primitives (it runs on
+    device arrays, host ints, and a recording tracer)."""
+
+    numerator: Callable
+    exempt: tuple
+
+
+# ---------------------------------------------------------------------------
+# Ops namespaces — the three evaluation modes of a constraint numerator
+# ---------------------------------------------------------------------------
+
+
+class DeviceOps:
+    """Vectorized Montgomery-form uint32 arrays (the prover's coset)."""
+
+    mul = staticmethod(fp.mont_mul)
+    add = staticmethod(fp.add)
+    sub = staticmethod(fp.sub)
+
+    @staticmethod
+    def const(v: int):
+        return jnp.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
+
+
+class HostOps:
+    """Exact Python ints mod p (the verifier's point checks)."""
+
+    @staticmethod
+    def mul(a, b):
+        return a * b % fp.P
+
+    @staticmethod
+    def add(a, b):
+        return (a + b) % fp.P
+
+    @staticmethod
+    def sub(a, b):
+        return (a - b) % fp.P
+
+    @staticmethod
+    def const(v: int):
+        return v % fp.P
+
+
+# RPN opcodes shared with native/zkstark_native.cpp (keep in sync)
+OP_F, OP_X, OP_CONST, OP_ADD, OP_SUB, OP_MUL = range(6)
+
+
+class _Node:
+    """Expression node recorded by RecorderOps; serialized postfix."""
+
+    __slots__ = ("op", "arg", "children")
+
+    def __init__(self, op, arg=0, children=()):
+        self.op = op
+        self.arg = arg
+        self.children = children
+
+
+class RecorderOps:
+    """Records the numerator as an expression tree → RPN program for the
+    native C++ verifier (one more consumer of the same definition)."""
+
+    @staticmethod
+    def mul(a, b):
+        return _Node(OP_MUL, children=(a, b))
+
+    @staticmethod
+    def add(a, b):
+        return _Node(OP_ADD, children=(a, b))
+
+    @staticmethod
+    def sub(a, b):
+        return _Node(OP_SUB, children=(a, b))
+
+    @staticmethod
+    def const(v: int):
+        return _Node(OP_CONST, v % fp.P)
+
+
+def numerator_program(numerator: Callable, shifts: tuple) -> list:
+    """[(op, arg), …] RPN encoding of a transition numerator."""
+    root = numerator(
+        RecorderOps,
+        lambda k: _Node(OP_F, shifts.index(k)),
+        _Node(OP_X),
+    )
+    prog = []
+
+    def emit(node):
+        for c in node.children:
+            emit(c)
+        prog.append((node.op, node.arg))
+
+    emit(root)
+    return prog
+
+
+# ---------------------------------------------------------------------------
+# Air base + concrete AIRs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Air:
+    """A pluggable AIR: witness generation + ordered constraint list.
+
+    Subclasses set `shifts` (which f(g^k·x) openings the constraints read;
+    determines the trace openings per query and the query range) and
+    implement trace() and constraints(). Frozen/fieldless so configs
+    embedding an Air stay hashable (jit static args)."""
+
+    shifts = (0,)
+    name = "air"
+
+    @property
+    def max_shift(self) -> int:
+        return max(self.shifts)
+
+    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def constraints(self, cfg) -> tuple:
+        raise NotImplementedError
 
 
 def fibonacci_sq_trace(length: int = 1023, secret: int = 3141592) -> np.ndarray:
@@ -55,6 +213,125 @@ def fibonacci_sq_trace(length: int = 1023, secret: int = 3141592) -> np.ndarray:
         a[i] = cur
         prev2, prev1 = prev1, cur
     return a
+
+
+def _fib_sq_numerator(ops, f, x):
+    """f(g²x) − f(gx)² − f(x)² (prover.rs:134-136)."""
+    return ops.sub(ops.sub(f(2), ops.mul(f(1), f(1))), ops.mul(f(0), f(0)))
+
+
+@dataclass(frozen=True)
+class FibonacciSqAir(Air):
+    """The reference's statement: knowledge of a[1] with
+    a[i] = a[i-1]² + a[i-2]² and public a[0], a[trace_len−1]
+    (prover.rs:32-39, proof.rs:63-77)."""
+
+    shifts = (0, 1, 2)
+    name = "fibonacci-sq"
+
+    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+        return fibonacci_sq_trace(trace_len, secret)
+
+    def constraints(self, cfg) -> tuple:
+        n = cfg.trace_domain
+        return (
+            Boundary(0, cfg.boundary_first),
+            Boundary(cfg.trace_len - 1, cfg.boundary_last),
+            Transition(_fib_sq_numerator, (n - 3, n - 2, n - 1)),
+        )
+
+
+def _fib_numerator(ops, f, x):
+    return ops.sub(ops.sub(f(2), f(1)), f(0))
+
+
+@dataclass(frozen=True)
+class FibonacciAir(Air):
+    """Plain additive Fibonacci (a[i] = a[i-1] + a[i-2]) — the second AIR
+    proving the framework is pluggable: same boundary shape, different
+    transition numerator, zero prover/verifier code changes."""
+
+    shifts = (0, 1, 2)
+    name = "fibonacci"
+
+    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+        a = np.empty(trace_len, dtype=np.uint32)
+        prev2, prev1 = 1, secret % fp.P
+        a[0] = prev2
+        if trace_len > 1:
+            a[1] = prev1
+        for i in range(2, trace_len):
+            cur = (prev2 + prev1) % fp.P
+            a[i] = cur
+            prev2, prev1 = prev1, cur
+        return a
+
+    def constraints(self, cfg) -> tuple:
+        n = cfg.trace_domain
+        return (
+            Boundary(0, cfg.boundary_first),
+            Boundary(cfg.trace_len - 1, cfg.boundary_last),
+            Transition(_fib_numerator, (n - 3, n - 2, n - 1)),
+        )
+
+
+FIBONACCI_SQ = FibonacciSqAir()
+FIBONACCI = FibonacciAir()
+
+AIRS = {a.name: a for a in (FIBONACCI_SQ, FIBONACCI)}
+
+
+# ---------------------------------------------------------------------------
+# Host-side point evaluation (the verifier's consumer)
+# ---------------------------------------------------------------------------
+
+
+def composition_at_point(cfg, x: int, f_vals: dict, alphas: list) -> int:
+    """Σ αᵢ·cᵢ(x) with exact ints — the verifier's composition check value
+    (proof.rs:63-77 generalised). f_vals maps shift k → opened f(g^k·x)."""
+    p = fp.P
+    g = cfg.trace_generator
+    n = cfg.trace_domain
+    inv = lambda a: pow(a % p, p - 2, p)
+    acc = 0
+    for alpha, con in zip(alphas, cfg.constraints):
+        if isinstance(con, Boundary):
+            num = (f_vals[0] - con.value) % p
+            den = (x - pow(g, con.step, p)) % p
+        else:
+            num = con.numerator(HostOps, lambda k: f_vals[k] % p, x % p)
+            z = (pow(x, n, p) - 1) % p
+            for e in con.exempt:
+                z = z * inv(x - pow(g, e, p)) % p
+            den = z
+        acc = (acc + alpha * num % p * inv(den)) % p
+    return acc
+
+
+def serialize_air(cfg) -> np.ndarray:
+    """Flat uint32 blob describing the constraint system for the native C++
+    verifier (format documented in native/zkstark_native.cpp):
+
+    [n_shifts, shifts…, n_constraints] then per constraint:
+      Boundary:   [0, step, value]
+      Transition: [1, n_exempt, exempt…, n_ops, (op, arg)…]
+    """
+    shifts = cfg.air.shifts
+    words = [len(shifts), *shifts, len(cfg.constraints)]
+    for con in cfg.constraints:
+        if isinstance(con, Boundary):
+            words += [0, con.step, con.value % fp.P]
+        else:
+            prog = numerator_program(con.numerator, shifts)
+            words += [1, len(con.exempt), *con.exempt, len(prog)]
+            for op, arg in prog:
+                words += [op, arg]
+    return np.asarray(words, dtype=np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Trace interpolation (phase 1's INTT substitution for lagrange())
+# ---------------------------------------------------------------------------
 
 
 @functools.lru_cache(maxsize=None)

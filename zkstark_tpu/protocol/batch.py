@@ -50,7 +50,7 @@ def fused_core_batch(cfg: StarkConfig, traces_mont):
     roots = [f_levels[-1][:, 0]]
 
     alphas = []
-    for _ in range(3):
+    for _ in range(cfg.n_constraints):
         a, state = dc.draw_u32(state)
         alphas.append(a)
     alphas_mont = jnp.stack([dc.draw_to_mont(a) for a in alphas], axis=-1)  # (B,3)
@@ -81,17 +81,19 @@ def fused_core_batch(cfg: StarkConfig, traces_mont):
     free_term = layer_res[-1][:, 0]
     state = dc.absorb_u32_le(state, free_term)
 
-    q, state = dc.draw_u32(state)
-    query = q % jnp.uint32(cfg.query_range)
+    queries = []
+    for _ in range(cfg.n_queries):
+        q, state = dc.draw_u32(state)
+        queries.append(q % jnp.uint32(cfg.query_range))
 
     return {
         "roots": jnp.stack(roots, axis=1),  # (B, 2+rounds, 8)
-        "alphas": jnp.stack(alphas, axis=1),  # (B, 3)
+        "alphas": jnp.stack(alphas, axis=1),  # (B, n_constraints)
         "betas": (
             jnp.stack(betas, axis=1) if betas else jnp.zeros((bsz, 0), jnp.uint32)
         ),
         "free_term": free_term,
-        "query": query,
+        "queries": jnp.stack(queries, axis=1),  # (B, n_queries)
         "f_res": f_res,
         "f_levels": f_levels,
         "layer_res": layer_res,
@@ -105,9 +107,7 @@ def prove_batch(
     """Prove B witnesses; returns B proofs, each byte-identical to a solo
     prove() of the same secret. With a mesh, the batch axis is sharded over
     `data_axis` — pure DP, no cross-device communication."""
-    traces = np.stack(
-        [air.fibonacci_sq_trace(cfg.trace_len, s) for s in secrets]
-    )
+    traces = np.stack([cfg.air.trace(cfg.trace_len, s) for s in secrets])
     for i, s in enumerate(secrets):
         if int(traces[i, -1]) != cfg.boundary_last:
             raise ValueError(f"witness {i} (secret {s}) fails the public boundary")
@@ -126,7 +126,7 @@ def prove_batch(
         art = pr.ProverArtifacts()
         roots = out["roots"][i]
         channel.commit_hash(sha256.digest_to_bytes(roots[0]))
-        for k in range(3):
+        for k in range(cfg.n_constraints):
             a = channel.get_u32()
             if a != int(out["alphas"][i, k]):
                 raise pr.DeviceChannelMismatch(f"proof {i} alpha[{k}]")
@@ -137,9 +137,12 @@ def prove_batch(
                 raise pr.DeviceChannelMismatch(f"proof {i} beta[{layer}]")
             channel.commit_hash(sha256.digest_to_bytes(roots[2 + layer]))
         channel.commit_u32(int(out["free_term"][i]))
-        x = channel.get_u32() % cfg.query_range
-        if x != int(out["query"][i]):
-            raise pr.DeviceChannelMismatch(f"proof {i} query index")
+        queries = []
+        for qi in range(cfg.n_queries):
+            x = channel.get_u32() % cfg.query_range
+            if x != int(out["queries"][i, qi]):
+                raise pr.DeviceChannelMismatch(f"proof {i} query index {qi}")
+            queries.append(x)
 
         f_tree = merkle.MerkleTree(levels=[lv[i] for lv in out["f_levels"]])
         trees = [
@@ -154,7 +157,7 @@ def prove_batch(
             f_tree,
             [res[i] for res in out["layer_res"]],
             trees,
-            x,
+            queries,
         )
         state, data = channel.finalize()
         proofs.append(Proof(state=state, data=data))

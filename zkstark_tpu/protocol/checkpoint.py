@@ -132,22 +132,54 @@ def load(path: str):
 
 
 class ResumableProver:
-    """The host-synced prover as an explicit phase state machine with a
-    checkpoint written after every Fiat-Shamir barrier.
+    """The prover as an explicit phase state machine with a checkpoint
+    written after every Fiat-Shamir barrier.
+
+    fused=True (the default prover path): ONE checkpoint after the single
+    fused device program + challenge replay — the natural barrier of the
+    fused design (everything before it is device compute, everything after
+    is host decommitment). fused=False: the legacy host-synced path with a
+    checkpoint per phase.
 
     run(stop_after=...) simulates a crash for tests; a subsequent
     ResumableProver(...).run() picks up from the newest checkpoint and the
     final proof is byte-identical to an uninterrupted prove()."""
 
-    PHASES = ("phase1", "phase2", "fri", "done")
+    PHASES = ("phase1", "phase2", "fri", "fused", "done")
 
-    def __init__(self, cfg: StarkConfig, secret: int, path: str):
+    def __init__(self, cfg: StarkConfig, secret: int, path: str,
+                 fused: bool = False):
         self.cfg = cfg
         self.secret = secret
         self.path = path
+        self.fused = fused
 
     def _save(self, phase: str, channel: Channel, arrays: dict):
         save(self.path, phase, channel, arrays)
+
+    def _run_fused(self, phase, channel, arrays, stop_after):
+        cfg = self.cfg
+        if phase == "start":
+            from zkstark_tpu.protocol import fused as fused_mod
+
+            trace_mont = pr._trace_to_device(cfg, self.secret)
+            out = jax.device_get(fused_mod.fused_core(cfg, trace_mont, None))
+            queries = pr.fused_replay(cfg, channel, out)
+            arrays = dict(out)
+            arrays["queries_drawn"] = np.asarray(queries, dtype=np.int64)
+            self._save("fused", channel, arrays)
+            phase = "fused"
+            if stop_after == "fused":
+                return None
+
+        if phase == "fused":
+            art = pr.ProverArtifacts()
+            queries = [int(x) for x in arrays["queries_drawn"]]
+            pr.fused_decommit(cfg, channel, art, arrays, queries)
+            state, data = channel.finalize()
+            return Proof(state=state, data=data)
+
+        raise CheckpointError(f"unknown fused checkpoint phase {phase!r}")
 
     def run(self, stop_after: str | None = None) -> Proof | None:
         import os
@@ -157,6 +189,9 @@ class ResumableProver:
             phase, channel, arrays = load(self.path)
         else:
             phase, channel, arrays = "start", Channel(), {}
+
+        if self.fused or phase == "fused":
+            return self._run_fused(phase, channel, arrays, stop_after)
 
         if phase == "start":
             trace_mont = pr._trace_to_device(cfg, self.secret)
@@ -174,7 +209,7 @@ class ResumableProver:
                 return None
 
         if phase == "phase1":
-            alphas = [channel.get_u32() for _ in range(3)]
+            alphas = [channel.get_u32() for _ in range(cfg.n_constraints)]
             alphas_mont = jnp.stack([pr._mont_scalar(a) for a in alphas])
             cp_eval, cp_res, cp_levels = pr._phase2(
                 cfg, jnp.asarray(arrays["f_eval"]), alphas_mont
@@ -221,7 +256,9 @@ class ResumableProver:
             trees = [
                 merkle.MerkleTree(levels=list(lv)) for lv in arrays["layer_levels"]
             ]
-            x = channel.get_u32() % cfg.query_range
+            queries = [
+                channel.get_u32() % cfg.query_range for _ in range(cfg.n_queries)
+            ]
             pr._decommit(
                 cfg,
                 channel,
@@ -230,7 +267,7 @@ class ResumableProver:
                 f_tree,
                 list(arrays["layer_res"]),
                 trees,
-                x,
+                queries,
             )
             state, data = channel.finalize()
             return Proof(state=state, data=data)

@@ -4,7 +4,10 @@ The reference hardcodes every constant as a literal scattered across files
 (SURVEY.md §5 config): trace length 1023 + secret (prover.rs:32-39), generator
 exponents (prover.rs:48-49), domain 8192 / blowup 8, 10 FRI rounds
 (prover.rs:198), query range 8176 (prover.rs:263), boundary values duplicated
-in the verifier (proof.rs:69-70). Here they live in one frozen dataclass; the
+in the verifier (proof.rs:69-70), one hardwired query (prover.rs:263) and the
+FibonacciSq constraints welded into both sides (prover.rs:101-145 /
+proof.rs:63-77). Here they live in one frozen dataclass: the AIR is a
+pluggable object (protocol/air.py), the query count is a parameter, and the
 stark-101 instance is the golden preset. Mesh/topology configuration is kept
 separate (parallel/mesh.py) so the same proof is byte-identical at any
 sharding.
@@ -12,9 +15,10 @@ sharding.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from zkstark_tpu.field import fp
+from zkstark_tpu.protocol.air import FIBONACCI_SQ, Air
 
 
 @dataclass(frozen=True)
@@ -24,12 +28,15 @@ class StarkConfig:
     coset_offset: int = 5  # prover.rs:69: evaluation coset = offset·⟨h⟩
     boundary_first: int = 1  # public input a[0] (proof.rs:69)
     boundary_last: int = 2338775057  # public output a[trace_len−1] (proof.rs:70)
+    n_queries: int = 1  # FRI query count (reference draws exactly 1, prover.rs:263)
+    air: Air = field(default=FIBONACCI_SQ)  # the constraint system + witness gen
 
     def __post_init__(self):
         n = self.trace_domain
         assert n & (n - 1) == 0, "trace domain must be a power of two"
         assert self.blowup & (self.blowup - 1) == 0, "blowup must be a power of two"
         assert (fp.P - 1) % self.eval_domain == 0, "domain too large for field"
+        assert self.n_queries >= 1
 
     @property
     def trace_domain(self) -> int:
@@ -48,8 +55,18 @@ class StarkConfig:
 
     @property
     def query_range(self) -> int:
-        """Query index range: domain − 2·blowup (reference: 8176, prover.rs:263)."""
-        return self.eval_domain - 2 * self.blowup
+        """Query index range: domain − max_shift·blowup, so every shifted
+        opening stays in range (reference: 8176 = 8192 − 2·8, prover.rs:263)."""
+        return self.eval_domain - self.air.max_shift * self.blowup
+
+    @property
+    def constraints(self) -> tuple:
+        """The AIR's ordered constraint list (alpha order)."""
+        return self.air.constraints(self)
+
+    @property
+    def n_constraints(self) -> int:
+        return len(self.constraints)
 
     @property
     def trace_generator(self) -> int:

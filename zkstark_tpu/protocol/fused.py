@@ -31,19 +31,68 @@ from zkstark_tpu.protocol.config import StarkConfig
 from zkstark_tpu.transcript import device_channel as dc
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def fused_core(cfg: StarkConfig, trace_mont):
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
     """trace (Montgomery, (trace_len,)) → everything the transcript and the
     decommitment need, challenges derived on device.
 
+    With `mesh` (static), the whole program is sharded over the evaluation
+    domain: six-step NTT LDE (all_to_all transposes), local Merkle subtrees
+    + root gathers, cross-shard FRI exchanges — while the transcript stays
+    byte-identical to the single-device proof at any mesh size (mesh config
+    is separate from protocol config, SURVEY.md §5).
+
     Returns a dict: roots (2+fri_rounds, 8) u32 digests in commit order,
-    alphas (3,), betas (fri_rounds,), free_term (), query (), plus f_res and
-    per-layer residues and Merkle levels for phase-4 openings."""
+    alphas (n_constraints,), betas (fri_rounds,), free_term (),
+    queries (n_queries,), plus f_res and per-layer residues and Merkle levels
+    for phase-4 openings."""
+    if mesh is not None:
+        from zkstark_tpu.parallel.fri_sharded import fold_sharded
+        from zkstark_tpu.parallel.merkle_sharded import sharded_build_levels
+        from zkstark_tpu.parallel.mesh import mesh_size, vec_sharding
+        from zkstark_tpu.parallel.ntt_sharded import coset_ntt_sixstep
+
+        n_shards = mesh_size(mesh)
+
+        def build_levels(res):
+            if res.shape[0] >= n_shards:
+                return sharded_build_levels(res, mesh)
+            return merkle.build_levels(res)
+
+        def constrain(arr):
+            return jax.lax.with_sharding_constraint(arr, vec_sharding(mesh))
+
+        def lde(coeffs):
+            return coset_ntt_sixstep(
+                coeffs, cfg.eval_domain, cfg.coset_offset, mesh=mesh
+            )
+
+        def fold(layer, evals, beta_mont):
+            folded = fold_sharded(
+                evals,
+                beta_mont,
+                pr.fri_layer_constants(cfg, layer),
+                pr._mont_scalar(pr._INV2),
+                mesh=mesh if evals.shape[0] // 2 >= n_shards else None,
+            )
+            res = fp.from_mont(folded)
+            return folded, res, build_levels(res)
+
+    else:
+        build_levels = merkle.build_levels
+        constrain = lambda arr: arr  # noqa: E731
+
+        def lde(coeffs):
+            return ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset)
+
+        def fold(layer, evals, beta_mont):
+            return pr.fri_fold_eval(cfg, layer, evals, beta_mont)
+
     # ---- Phase 1: interpolate + LDE + commit (prover.rs:24-85) ----
     coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain)
-    f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset)
+    f_eval = lde(coeffs)
     f_res = fp.from_mont(f_eval)
-    f_levels = merkle.build_levels(f_res)
+    f_levels = build_levels(f_res)
 
     state = dc.zero_state()
     state = dc.absorb_hash(state, f_levels[-1][0])
@@ -51,13 +100,13 @@ def fused_core(cfg: StarkConfig, trace_mont):
 
     # ---- Phase 2: composition (prover.rs:87-180) ----
     alphas = []
-    for _ in range(3):
+    for _ in range(cfg.n_constraints):
         a, state = dc.draw_u32(state)
         alphas.append(a)
     alphas_mont = jnp.stack([dc.draw_to_mont(a) for a in alphas])
-    cp = pr.composition_eval(cfg, f_eval, alphas_mont)
+    cp = constrain(pr.composition_eval(cfg, f_eval, alphas_mont))
     cp_res = fp.from_mont(cp)
-    cp_levels = merkle.build_levels(cp_res)
+    cp_levels = build_levels(cp_res)
     state = dc.absorb_hash(state, cp_levels[-1][0])
     roots.append(cp_levels[-1][0])
 
@@ -69,7 +118,7 @@ def fused_core(cfg: StarkConfig, trace_mont):
     for layer in range(cfg.fri_rounds):
         b, state = dc.draw_u32(state)
         betas.append(b)
-        evals, res, levels = pr.fri_fold_eval(cfg, layer, evals, dc.draw_to_mont(b))
+        evals, res, levels = fold(layer, evals, dc.draw_to_mont(b))
         layer_res.append(res)
         layer_levels.append(levels)
         state = dc.absorb_hash(state, levels[-1][0])
@@ -77,17 +126,20 @@ def fused_core(cfg: StarkConfig, trace_mont):
     free_term = layer_res[-1][0]
     state = dc.absorb_u32_le(state, free_term)
 
-    # ---- Phase 4 prologue: the query index (prover.rs:263) ----
-    q, state = dc.draw_u32(state)
-    query = q % jnp.uint32(cfg.query_range)
+    # ---- Phase 4 prologue: the query indices (prover.rs:263, generalized
+    # to n_queries; all draws precede the openings so the whole chain stays
+    # on device — each draw self-commits, so the draws are distinct) ----
+    queries = []
+    for _ in range(cfg.n_queries):
+        q, state = dc.draw_u32(state)
+        queries.append(q % jnp.uint32(cfg.query_range))
 
     return {
         "roots": jnp.stack(roots),
         "alphas": jnp.stack(alphas),
         "betas": jnp.stack(betas) if betas else jnp.zeros(0, jnp.uint32),
         "free_term": free_term,
-        "query_draw": q,
-        "query": query,
+        "queries": jnp.stack(queries),
         "f_res": f_res,
         "f_levels": f_levels,
         "layer_res": layer_res,

@@ -21,6 +21,7 @@ only on the 32-byte Merkle root, letting XLA pipeline the rest.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -62,26 +63,26 @@ def _composition_constants_impl(cfg: StarkConfig):
     xs = fp.mont_mul(fp.device_powers(h, d), _mont_scalar(o))  # the coset domain
     one = jnp.full((d,), jnp.uint32(fp.R_MOD_P))
 
-    g_last = pow(g, cfg.trace_len - 1, fp.P)  # g^1022
-    inv_first = fp.inv(fp.sub(xs, one))
-    inv_last = fp.inv(fp.sub(xs, jnp.broadcast_to(_mont_scalar(g_last), (d,))))
+    # One inverse-denominator vector per AIR constraint, in alpha order:
+    #   Boundary(step, v):     1/(x − g^step)
+    #   Transition(num, ex):   1/Z, Z = (x^n − 1) / Π_{e ∈ ex} (x − g^e)
+    # (the reference's c0/c1/c2 denominators, prover.rs:101-145, generalized)
+    inv_dens = []
+    for con in cfg.constraints:
+        if isinstance(con, air.Boundary):
+            point = jnp.broadcast_to(_mont_scalar(pow(g, con.step, fp.P)), (d,))
+            inv_dens.append(fp.inv(fp.sub(xs, point)))
+        else:
+            num = fp.sub(fp.pow_static(xs, n), one)
+            den = one
+            for e in con.exempt:
+                den = fp.mont_mul(
+                    den,
+                    fp.sub(xs, jnp.broadcast_to(_mont_scalar(pow(g, e, fp.P)), (d,))),
+                )
+            inv_dens.append(fp.mont_mul(den, fp.inv(num)))
 
-    # 1/Z(x) where Z = (x^n − 1) / ((x−g^{n−3})(x−g^{n−2})(x−g^{n−1}))
-    x_pow_n = fp.pow_static(xs, n)
-    num = fp.sub(x_pow_n, one)
-    den = one
-    for e in (n - 3, n - 2, n - 1):
-        den = fp.mont_mul(
-            den, fp.sub(xs, jnp.broadcast_to(_mont_scalar(pow(g, e, fp.P)), (d,)))
-        )
-    z_inv = fp.mont_mul(den, fp.inv(num))
-
-    return {
-        "xs": xs,
-        "inv_first": inv_first,
-        "inv_last": inv_last,
-        "z_inv": z_inv,
-    }
+    return {"xs": xs, "inv_dens": tuple(inv_dens)}
 
 
 @functools.lru_cache(maxsize=None)
@@ -118,32 +119,32 @@ def _phase1(cfg: StarkConfig, trace_mont):
 
 
 def composition_eval(cfg: StarkConfig, f_eval, alphas_mont):
-    """Pointwise constraint composition on the coset (prover.rs:87-180).
+    """Pointwise constraint composition on the coset (prover.rs:87-180),
+    derived from the config's pluggable AIR (protocol/air.py).
 
     The single source of truth for the phase-2 math — used by the host-synced
-    prover, the fused device-channel prover, and the sharded pipeline. Works
-    on any leading batch shape (last axis = the evaluation domain)."""
+    prover, the fused device-channel prover, the batched prover, and the
+    sharded pipeline. Works on any leading batch shape (last axis = the
+    evaluation domain). The f(g^k·x) shifts the constraints read are rolls by
+    k·blowup lanes (g = h^blowup — why the reference opens x+8 and x+16,
+    prover.rs:268-271)."""
     c = composition_constants(cfg)
     b = cfg.blowup
-    one_first = jnp.broadcast_to(_mont_scalar(cfg.boundary_first), f_eval.shape)
-    one_last = jnp.broadcast_to(_mont_scalar(cfg.boundary_last), f_eval.shape)
-
-    c0 = fp.mont_mul(fp.sub(f_eval, one_first), c["inv_first"])
-    c1 = fp.mont_mul(fp.sub(f_eval, one_last), c["inv_last"])
-    f_gx = jnp.roll(f_eval, -b, axis=-1)
-    f_ggx = jnp.roll(f_eval, -2 * b, axis=-1)
-    num2 = fp.sub(
-        fp.sub(f_ggx, fp.mont_mul(f_gx, f_gx)), fp.mont_mul(f_eval, f_eval)
-    )
-    c2 = fp.mont_mul(num2, c["z_inv"])
-
-    return fp.add(
-        fp.add(
-            fp.mont_mul(c0, alphas_mont[..., 0:1]),
-            fp.mont_mul(c1, alphas_mont[..., 1:2]),
-        ),
-        fp.mont_mul(c2, alphas_mont[..., 2:3]),
-    )
+    shifted = {
+        k: f_eval if k == 0 else jnp.roll(f_eval, -k * b, axis=-1)
+        for k in cfg.air.shifts
+    }
+    acc = None
+    for i, (con, inv_den) in enumerate(zip(cfg.constraints, c["inv_dens"])):
+        if isinstance(con, air.Boundary):
+            num = fp.sub(
+                shifted[0], jnp.broadcast_to(_mont_scalar(con.value), f_eval.shape)
+            )
+        else:
+            num = con.numerator(air.DeviceOps, lambda k: shifted[k], c["xs"])
+        term = fp.mont_mul(fp.mont_mul(num, inv_den), alphas_mont[..., i : i + 1])
+        acc = term if acc is None else fp.add(acc, term)
+    return acc
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -191,43 +192,88 @@ class ProverArtifacts:
         self.f_tree = None
         self.layer_res = []  # residues per FRI layer, layer 0 = cp_eval
         self.layer_trees = []
-        self.query_index = None
+        self.query_indices = []
+
+    @property
+    def query_index(self):
+        return self.query_indices[0] if self.query_indices else None
 
 
 class DeviceChannelMismatch(RuntimeError):
     """The device-derived Fiat-Shamir chain disagreed with the host replay."""
 
 
-def _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, x):
-    """Phase 4: one query, 4 trace openings + per-layer pair openings
-    (prover.rs:256-289). All inputs are host arrays — zero device syncs."""
-    b = cfg.blowup
-    for idx in (x, x + b, x + 2 * b):
-        channel.commit_bytes(
-            bincode.ser_opening(int(f_res_h[idx]), f_tree_h.auth_path(idx))
-        )
-    channel.commit_bytes(
-        bincode.ser_opening(int(layer_res_h[0][x]), trees_h[0].auth_path(x))
-    )
+def fused_replay(cfg: StarkConfig, channel, out) -> list:
+    """Replay the byte transcript through the host channel from the fused
+    core's fetched roots, asserting every host-derived challenge equals the
+    device-derived one (the per-proof device-chain cross-check). Returns the
+    query indices. `out` is a host-fetched fused_core output dict."""
+    roots = out["roots"]
+    channel.commit_hash(sha256.digest_to_bytes(roots[0]))
+    for k in range(cfg.n_constraints):
+        a = channel.get_u32()
+        if a != int(out["alphas"][k]):
+            raise DeviceChannelMismatch(f"alpha[{k}]")
+    channel.commit_hash(sha256.digest_to_bytes(roots[1]))
     for layer in range(cfg.fri_rounds):
-        size = cfg.eval_domain >> layer
-        xi = x % size
-        nxi = (xi + size // 2) % size
-        channel.commit_bytes(
-            bincode.ser_fri_opening(
-                int(layer_res_h[layer][xi]),
-                int(layer_res_h[layer][nxi]),
-                trees_h[layer].auth_path(xi),
-                trees_h[layer].auth_path(nxi),
+        beta = channel.get_u32()
+        if beta != int(out["betas"][layer]):
+            raise DeviceChannelMismatch(f"beta[{layer}]")
+        channel.commit_hash(sha256.digest_to_bytes(roots[2 + layer]))
+    channel.commit_u32(int(out["free_term"]))
+    queries = []
+    for qi in range(cfg.n_queries):
+        x = channel.get_u32() % cfg.query_range
+        if x != int(out["queries"][qi]):
+            raise DeviceChannelMismatch(f"query index {qi}")
+        queries.append(x)
+    return queries
+
+
+def fused_decommit(cfg: StarkConfig, channel, art, out, queries) -> None:
+    """Phase 4 for the fused path: openings out of the fetched level arrays."""
+    f_tree_h = merkle.MerkleTree(levels=list(out["f_levels"]))
+    trees_h = [merkle.MerkleTree(levels=list(lv)) for lv in out["layer_levels"]]
+    _decommit(
+        cfg, channel, art, out["f_res"], f_tree_h, list(out["layer_res"]),
+        trees_h, list(queries),
+    )
+
+
+def _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, queries):
+    """Phase 4: per query, len(air.shifts)+1 trace openings + per-layer pair
+    openings (prover.rs:256-289, generalized to n_queries — the reference's
+    single query is a soundness quirk, SURVEY.md §3.3(b)). All inputs are host
+    arrays — zero device syncs."""
+    b = cfg.blowup
+    for x in queries:
+        for k in cfg.air.shifts:
+            idx = x + k * b
+            channel.commit_bytes(
+                bincode.ser_opening(int(f_res_h[idx]), f_tree_h.auth_path(idx))
             )
+        channel.commit_bytes(
+            bincode.ser_opening(int(layer_res_h[0][x]), trees_h[0].auth_path(x))
         )
+        for layer in range(cfg.fri_rounds):
+            size = cfg.eval_domain >> layer
+            xi = x % size
+            nxi = (xi + size // 2) % size
+            channel.commit_bytes(
+                bincode.ser_fri_opening(
+                    int(layer_res_h[layer][xi]),
+                    int(layer_res_h[layer][nxi]),
+                    trees_h[layer].auth_path(xi),
+                    trees_h[layer].auth_path(nxi),
+                )
+            )
     art.f_res, art.f_tree = f_res_h, f_tree_h
     art.layer_res, art.layer_trees = layer_res_h, trees_h
-    art.query_index = x
+    art.query_indices = list(queries)
 
 
 def _trace_to_device(cfg: StarkConfig, secret: int):
-    trace = air.fibonacci_sq_trace(cfg.trace_len, secret)
+    trace = cfg.air.trace(cfg.trace_len, secret)
     if int(trace[-1]) != cfg.boundary_last:
         raise ValueError(
             "witness does not satisfy the public boundary: trace endpoint "
@@ -236,12 +282,33 @@ def _trace_to_device(cfg: StarkConfig, secret: int):
     return jnp.asarray(fp.host_to_mont(trace))
 
 
+class _PhaseClock:
+    """Named wall-clock spans filled into a caller-supplied dict (SURVEY.md
+    §5 metrics: the per-phase observability the reference's two Instant::now
+    spans lack). No-ops (and adds no device syncs) when timings is None."""
+
+    def __init__(self, timings: dict | None):
+        self.timings = timings
+        self.t0 = time.perf_counter() if timings is not None else 0.0
+
+    def lap(self, name: str, block_on=None):
+        if self.timings is None:
+            return
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        now = time.perf_counter()
+        self.timings[name] = self.timings.get(name, 0.0) + now - self.t0
+        self.t0 = now
+
+
 def prove(
     cfg: StarkConfig = StarkConfig(),
     secret: int = 3141592,
     channel: Channel | None = None,
     artifacts: ProverArtifacts | None = None,
     fused: bool = True,
+    timings: dict | None = None,
+    mesh=None,
 ) -> Proof:
     """Generate a proof byte-identical to the reference's generate_proof
     (prover.rs:9-293) for the same config and witness.
@@ -250,38 +317,33 @@ def prove(
     XLA program with the channel chain on device (protocol/fused.py); the host
     replays the ~40-hash transcript from the fetched roots and asserts every
     challenge matches — a per-proof cross-check of the device chain.
-    fused=False: the legacy host-synced path (one round trip per challenge)."""
+    fused=False: the legacy host-synced path (one round trip per challenge).
+    timings: optional dict filled with named phase spans (seconds); adds
+    device fences, so leave None on the latency-critical path.
+    mesh: optional jax.sharding.Mesh — runs the device program sharded over
+    the evaluation domain (six-step NTT all_to_alls, Merkle subtree gathers,
+    cross-shard FRI exchanges); the transcript bytes are identical at any
+    mesh size (fused path only)."""
     channel = channel or Channel()
     art = artifacts if artifacts is not None else ProverArtifacts()
+    clock = _PhaseClock(timings)
     trace_mont = _trace_to_device(cfg, secret)
+    clock.lap("trace", block_on=trace_mont)
+
+    if mesh is not None and not fused:
+        raise ValueError("sharded proving requires the fused path")
 
     if fused:
         from zkstark_tpu.protocol import fused as fused_mod
 
-        out = jax.device_get(fused_mod.fused_core(cfg, trace_mont))
-        roots = out["roots"]
-        channel.commit_hash(sha256.digest_to_bytes(roots[0]))
-        for k in range(3):
-            a = channel.get_u32()
-            if a != int(out["alphas"][k]):
-                raise DeviceChannelMismatch(f"alpha[{k}]")
-        channel.commit_hash(sha256.digest_to_bytes(roots[1]))
-        for layer in range(cfg.fri_rounds):
-            beta = channel.get_u32()
-            if beta != int(out["betas"][layer]):
-                raise DeviceChannelMismatch(f"beta[{layer}]")
-            channel.commit_hash(sha256.digest_to_bytes(roots[2 + layer]))
-        channel.commit_u32(int(out["free_term"]))
-        x = channel.get_u32() % cfg.query_range
-        if x != int(out["query"]):
-            raise DeviceChannelMismatch("query index")
-
-        f_tree_h = merkle.MerkleTree(levels=out["f_levels"])
-        trees_h = [merkle.MerkleTree(levels=lv) for lv in out["layer_levels"]]
-        _decommit(
-            cfg, channel, art, out["f_res"], f_tree_h, out["layer_res"], trees_h, x
-        )
+        out_dev = fused_mod.fused_core(cfg, trace_mont, mesh)
+        clock.lap("device_program", block_on=out_dev)
+        out = jax.device_get(out_dev)
+        clock.lap("fetch")
+        queries = fused_replay(cfg, channel, out)
+        fused_decommit(cfg, channel, art, out, queries)
         state, data = channel.finalize()
+        clock.lap("replay_decommit")
         return Proof(state=state, data=data)
 
     # ---- Legacy host-synced path ----
@@ -289,12 +351,14 @@ def prove(
     f_eval, f_res, f_levels = _phase1(cfg, trace_mont)
     f_tree = merkle.MerkleTree(levels=f_levels)
     channel.commit_hash(_root_bytes(f_levels))
+    clock.lap("phase1_lde_commit")
 
     # Phase 2: composition (prover.rs:87-180)
-    alphas = [channel.get_u32() for _ in range(3)]
+    alphas = [channel.get_u32() for _ in range(cfg.n_constraints)]
     alphas_mont = jnp.stack([_mont_scalar(a) for a in alphas])
     cp_eval, cp_res, cp_levels = _phase2(cfg, f_eval, alphas_mont)
     channel.commit_hash(_root_bytes(cp_levels))
+    clock.lap("phase2_composition")
 
     # Phase 3: FRI (prover.rs:182-254)
     layer_res = [cp_res]
@@ -308,6 +372,7 @@ def prove(
         channel.commit_hash(_root_bytes(levels))
     free_term = int(np.asarray(layer_res[-1][0]))
     channel.commit_u32(free_term)
+    clock.lap("phase3_fri")
 
     # Phase 4: one bulk device→host transfer for everything decommitment
     # needs (~1 MB); per-element fetches would cost hundreds of round trips.
@@ -316,9 +381,11 @@ def prove(
     )
     f_tree_h = merkle.MerkleTree(levels=f_levels_h)
     trees_h = [merkle.MerkleTree(levels=lv) for lv in layer_levels_h]
+    clock.lap("fetch")
 
-    x = channel.get_u32() % cfg.query_range
-    _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, x)
+    queries = [channel.get_u32() % cfg.query_range for _ in range(cfg.n_queries)]
+    _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, queries)
 
     state, data = channel.finalize()
+    clock.lap("phase4_decommit")
     return Proof(state=state, data=data)

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 
 from zkstark_tpu.field import fp
 from zkstark_tpu.hash.merkle import compute_root_from_path
+from zkstark_tpu.protocol import air
 from zkstark_tpu.protocol.config import StarkConfig
 from zkstark_tpu.protocol.proof import Proof
 from zkstark_tpu.transcript import TranscriptError
@@ -50,21 +51,26 @@ def verify(proof: Proof, cfg: StarkConfig = StarkConfig()) -> VerifyReport:
     report = VerifyReport()
     p = fp.P
     rounds = cfg.fri_rounds
+    shifts = cfg.air.shifts
     try:
         ch = ReplayChannel(proof.data)
 
         # ---- transcript parse + challenge replay (proof.rs:16-46) ----
         f_root = ch.read_hash()
-        alphas = [ch.expect_u32() for _ in range(3)]
+        alphas = [ch.expect_u32() for _ in range(cfg.n_constraints)]
         betas = [0]  # dummy slot 0, matching proof.rs:27
         roots = [ch.read_hash()]
         for _ in range(rounds):
             betas.append(ch.expect_u32())
             roots.append(ch.read_hash())
         free_term = ch.read_u32()
-        query_raw = ch.expect_u32()
-        trace_open = [ch.read_opening() for _ in range(4)]
-        fri_open = [ch.read_fri_opening() for _ in range(rounds)]
+        # all query draws precede the openings (prover.rs:263 generalized)
+        query_raws = [ch.expect_u32() for _ in range(cfg.n_queries)]
+        per_query = []
+        for _ in range(cfg.n_queries):
+            trace_open = [ch.read_opening() for _ in range(len(shifts) + 1)]
+            fri_open = [ch.read_fri_opening() for _ in range(rounds)]
+            per_query.append((trace_open, fri_open))
         if not ch.reader.exhausted:
             raise VerificationError(
                 "transcript", f"{ch.reader.remaining} trailing bytes"
@@ -81,70 +87,73 @@ def verify(proof: Proof, cfg: StarkConfig = StarkConfig()) -> VerifyReport:
         raise VerificationError("transcript", str(e)) from e
 
     # ---- protocol constants (proof.rs:49-54) ----
-    n, d = cfg.trace_domain, cfg.eval_domain
-    g = cfg.trace_generator
+    d = cfg.eval_domain
     h = cfg.domain_generator
-    test_point = query_raw % cfg.query_range
-    x = cfg.coset_offset * pow(h, test_point, p) % p
-
-    (f_x, f_x_path), (f_gx, f_gx_path), (f_ggx, f_ggx_path), (cp0_x, cp0_x_path) = (
-        trace_open
-    )
-
-    # ---- composition identity at the query point (proof.rs:63-77) ----
-    g_m3, g_m2, g_m1 = (pow(g, n - e, p) for e in (3, 2, 1))
-    p0 = (f_x - cfg.boundary_first) * _inv(x - 1) % p
-    p1 = (f_x - cfg.boundary_last) * _inv((x - g_m2) % p) % p
-    z = (pow(x, n, p) - 1) * _inv(
-        (x - g_m3) * (x - g_m2) % p * (x - g_m1) % p
-    ) % p
-    p2 = (f_ggx - f_gx * f_gx - f_x * f_x) % p * _inv(z) % p
-    cp0_calc = (alphas[0] * p0 + alphas[1] * p1 + alphas[2] * p2) % p
-    if cp0_calc != cp0_x % p:
-        raise VerificationError(
-            "composition", f"cp0(x) = {cp0_x} but constraints give {cp0_calc}"
-        )
-    report.ok("composition-identity")
-
-    # ---- trace auth paths (proof.rs:80-95) ----
     b = cfg.blowup
-    for name, (val, path), idx, root in (
-        ("f(x)", trace_open[0], test_point, f_root),
-        ("f(gx)", trace_open[1], test_point + b, f_root),
-        ("f(ggx)", trace_open[2], test_point + 2 * b, f_root),
-        ("cp0(x)", trace_open[3], test_point, roots[0]),
-    ):
-        if compute_root_from_path(val, idx, path) != root:
-            raise VerificationError("merkle", f"auth path for {name} does not match")
-    report.ok("trace-auth-paths")
-
-    # ---- FRI consistency (proof.rs:101-126) ----
     inv2 = _inv(2)
-    for layer in range(rounds):
-        cp_x, cp_nx, _, _ = fri_open[layer]
-        xl = pow(x, 1 << layer, p)
-        g_xx = (cp_x + cp_nx) * inv2 % p
-        h_xx = (cp_x - cp_nx) * inv2 % p * _inv(xl) % p
-        calc = (g_xx + betas[layer + 1] * h_xx) % p
-        nxt = fri_open[layer + 1][0] if layer + 1 < rounds else free_term
-        if nxt % p != calc:
+
+    for q, (query_raw, (trace_open, fri_open)) in enumerate(
+        zip(query_raws, per_query)
+    ):
+        test_point = query_raw % cfg.query_range
+        x = cfg.coset_offset * pow(h, test_point, p) % p
+
+        # ---- composition identity at the query point (proof.rs:63-77),
+        #      derived from the config's AIR — one constraint definition
+        #      shared with the prover (protocol/air.py) ----
+        f_vals = {k: trace_open[i][0] for i, k in enumerate(shifts)}
+        cp0_x = trace_open[len(shifts)][0]
+        cp0_calc = air.composition_at_point(cfg, x, f_vals, alphas)
+        if cp0_calc != cp0_x % p:
             raise VerificationError(
-                "fri", f"layer {layer + 1} value {nxt} != folded {calc}"
+                "composition",
+                f"query {q}: cp0(x) = {cp0_x} but constraints give {cp0_calc}",
             )
-    report.ok("fri-consistency")
 
-    # ---- FRI auth paths (proof.rs:129-148) ----
-    for layer in range(rounds):
-        size = d >> layer
-        cp_x, cp_nx, path_x, path_nx = fri_open[layer]
-        for val, idx, path in (
-            (cp_x, test_point % size, path_x),
-            (cp_nx, (test_point + size // 2) % size, path_nx),
-        ):
-            if compute_root_from_path(val, idx, path) != roots[layer]:
+        # ---- trace auth paths (proof.rs:80-95) ----
+        for i, k in enumerate(shifts):
+            val, path = trace_open[i]
+            if compute_root_from_path(val, test_point + k * b, path) != f_root:
                 raise VerificationError(
-                    "merkle", f"FRI layer {layer} path at index {idx} does not match"
+                    "merkle", f"query {q}: auth path for f(g^{k}x) does not match"
                 )
-    report.ok("fri-auth-paths")
+        val, path = trace_open[len(shifts)]
+        if compute_root_from_path(val, test_point, path) != roots[0]:
+            raise VerificationError(
+                "merkle", f"query {q}: auth path for cp0(x) does not match"
+            )
 
+        # ---- FRI consistency (proof.rs:101-126) ----
+        for layer in range(rounds):
+            cp_x, cp_nx, _, _ = fri_open[layer]
+            xl = pow(x, 1 << layer, p)
+            g_xx = (cp_x + cp_nx) * inv2 % p
+            h_xx = (cp_x - cp_nx) * inv2 % p * _inv(xl) % p
+            calc = (g_xx + betas[layer + 1] * h_xx) % p
+            nxt = fri_open[layer + 1][0] if layer + 1 < rounds else free_term
+            if nxt % p != calc:
+                raise VerificationError(
+                    "fri",
+                    f"query {q}: layer {layer + 1} value {nxt} != folded {calc}",
+                )
+
+        # ---- FRI auth paths (proof.rs:129-148) ----
+        for layer in range(rounds):
+            size = d >> layer
+            cp_x, cp_nx, path_x, path_nx = fri_open[layer]
+            for val, idx, path in (
+                (cp_x, test_point % size, path_x),
+                (cp_nx, (test_point + size // 2) % size, path_nx),
+            ):
+                if compute_root_from_path(val, idx, path) != roots[layer]:
+                    raise VerificationError(
+                        "merkle",
+                        f"query {q}: FRI layer {layer} path at index {idx} "
+                        "does not match",
+                    )
+
+    report.ok("composition-identity")
+    report.ok("trace-auth-paths")
+    report.ok("fri-consistency")
+    report.ok("fri-auth-paths")
     return report

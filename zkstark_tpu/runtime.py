@@ -1,0 +1,56 @@
+"""Process-level runtime knobs: persistent compilation cache + profiler.
+
+The reference is a single static binary with zero startup cost; the TPU
+framework's equivalent of "startup" is XLA compilation of the fused prover
+(~minutes cold on a remote-compile backend). The persistent compilation
+cache makes that a once-per-machine cost instead of once-per-process:
+every jit miss is written to disk and later processes deserialize instead
+of recompiling (BENCH records warmup_prove_seconds trending down).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/zkstark_jax_cache")
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Returns the cache dir, or None if disabled. On the experimental `axon`
+    remote-compile backend, serializing the large fused-prover executable
+    wedges the tunnel (observed: compile that takes 195 s cache-off never
+    returns cache-on), so the cache defaults OFF there — force with
+    ZKSTARK_CACHE_DIR."""
+    import jax
+
+    cache_dir = path or os.environ.get("ZKSTARK_CACHE_DIR")
+    if cache_dir is None:
+        try:
+            if jax.default_backend() == "axon":
+                return None
+        except Exception:
+            return None
+        cache_dir = _DEFAULT_CACHE_DIR
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything: the prover's many small kernels all add up
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return cache_dir
+    except Exception:
+        return None
+
+
+def profiler_trace(path: str):
+    """Context manager: capture a jax.profiler trace (Perfetto/XProf) to
+    `path` (SURVEY.md §5 tracing). Usage:
+
+        with profiler_trace("/tmp/trace"):
+            prove(...)
+    """
+    import jax
+
+    return jax.profiler.trace(path)
