@@ -45,20 +45,25 @@ def test_f_degree(setup):
 def test_constraint_degrees(setup):
     # reference asserts degrees 1021, 1021, 1023 (prover.rs:154-156):
     # boundary constraints trace_len − 2, transition trace_domain − 1.
+    # Derived per-constraint from the pluggable AIR, exactly as
+    # composition_eval builds its terms (minus the alpha weights).
     cfg, f_eval = setup
     c = pr.composition_constants(cfg)
-    one_first = jnp.broadcast_to(pr._mont_scalar(cfg.boundary_first), f_eval.shape)
-    one_last = jnp.broadcast_to(pr._mont_scalar(cfg.boundary_last), f_eval.shape)
-    c0 = fp.mont_mul(fp.sub(f_eval, one_first), c["inv_first"])
-    c1 = fp.mont_mul(fp.sub(f_eval, one_last), c["inv_last"])
     b = cfg.blowup
-    f_gx = jnp.roll(f_eval, -b)
-    f_ggx = jnp.roll(f_eval, -2 * b)
-    num2 = fp.sub(fp.sub(f_ggx, fp.mont_mul(f_gx, f_gx)), fp.mont_mul(f_eval, f_eval))
-    c2 = fp.mont_mul(num2, c["z_inv"])
-    assert _degree(c0, 0, cfg) == cfg.trace_len - 2
-    assert _degree(c1, 0, cfg) == cfg.trace_len - 2
-    assert _degree(c2, 0, cfg) == cfg.trace_domain - 1
+    shifted = {
+        k: f_eval if k == 0 else jnp.roll(f_eval, -k * b) for k in cfg.air.shifts
+    }
+    degrees = []
+    for con, inv_den in zip(cfg.constraints, c["inv_dens"]):
+        if isinstance(con, air.Boundary):
+            num = fp.sub(
+                shifted[0],
+                jnp.broadcast_to(pr._mont_scalar(con.value), f_eval.shape),
+            )
+        else:
+            num = con.numerator(air.DeviceOps, lambda k: shifted[k], c["xs"])
+        degrees.append(_degree(fp.mont_mul(num, inv_den), 0, cfg))
+    assert degrees == [cfg.trace_len - 2, cfg.trace_len - 2, cfg.trace_domain - 1]
 
 
 def test_fri_degree_schedule(setup):

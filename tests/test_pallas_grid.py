@@ -81,3 +81,24 @@ def test_ntt_cols_call_two_grid_steps(lanes):
     plan = ntt.make_plan(m, w)
     want = ntt.ntt(x_mont.T, plan).T  # batch transform along columns
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("lanes", [256])
+def test_pease_cols_call_two_grid_steps(lanes):
+    """Pease kernel through the REAL pallas_call (interpret) with 2 grid
+    steps: natural-order input columns → bit-reversed-row NTT of each."""
+    from zkstark_tpu import ntt
+
+    m = 16
+    w = fp.subgroup_generator(m)
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, fp.P, (m, lanes), dtype=np.uint64).astype(np.uint32)
+    x_mont = jnp.asarray(fp.host_to_mont(x))
+
+    tw = jnp.asarray(ntt_kernel._pease_twiddle_table(m, w))
+    got = ntt_kernel._pease_cols_call(x_mont, tw, True)
+
+    plan = ntt.make_plan(m, w)
+    br = jnp.asarray(ntt.bit_reverse_indices(m))
+    want = jnp.take(ntt.ntt(x_mont.T, plan).T, br, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -28,10 +28,15 @@ uint32 VPU ops (`_mul32_wide`). Representation:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# REDC's m·p high word: "spec" (default) = shift/add form exploiting
+# p = 3·2^30+1; ZKSTARK_MULP=mul = generic 16-bit-limb multiply (A/B lever).
+_MULP_SPEC = os.environ.get("ZKSTARK_MULP", "spec") != "mul"
 
 # ---------------------------------------------------------------------------
 # Protocol field constants (reference: main.rs:13  `type F = Gf<3221225473>`)
@@ -97,6 +102,22 @@ def _mul32_hi(a, b):
 # Montgomery reduction / multiplication
 # ---------------------------------------------------------------------------
 
+def _mp_hi(m):
+    """High 32 bits of m·p exploiting p = 3·2^30 + 1: m·p = (3m << 30) + m,
+    so hi32 = (3m >> 2) + carries — shifts and adds only, replacing the four
+    16-bit limb multiplies of the generic _mul32_hi(m, P) inside every REDC.
+
+    3m needs 34 bits: s = low 32 of 3m, c ∈ {0,1,2} its overflow;
+    hi32(m·p) = (s >> 2) + (c << 30) + [((s & 3) << 30) + m wraps].
+    Exhaustively property-checked against (m·P) >> 32."""
+    m2 = m << 1
+    c = (m >> 31) + (m2 + m < m2).astype(_U32)
+    s = m2 + m
+    t = (s & np.uint32(3)) << 30
+    carry = (t + m < t).astype(_U32)
+    return (s >> 2) + (c << 30) + carry
+
+
 def _mont_reduce(hi, lo):
     """REDC: given t = hi·2^32 + lo < p·2^32, return t·R^{-1} mod p.
 
@@ -106,7 +127,7 @@ def _mont_reduce(hi, lo):
     2p > 2^32 for this p), handled via wraparound detection.
     """
     m = lo * _P_INV_NEG_U32
-    mp_hi = _mul32_hi(m, _P_U32)
+    mp_hi = _mp_hi(m) if _MULP_SPEC else _mul32_hi(m, _P_U32)
     carry = (lo != 0).astype(_U32)
     s1 = hi + mp_hi
     c1 = s1 < hi

@@ -36,6 +36,8 @@ rounding anywhere). Replaces the reference's O(n²)/O(n³) polynomial algebra
 from __future__ import annotations
 
 import functools
+import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +50,18 @@ from zkstark_tpu.ops import pallas_interpret
 
 MAX_COLS_SIZE = 4096  # (4096, 128) uint32 block = 2 MB — comfortable in VMEM
 MIN_FOURSTEP = 1 << 14  # below this both factors can't reach 128 lanes
+
+
+def pease_enabled() -> bool:
+    """Column kernel flavor. Default: the roll+select DIT kernel.
+
+    ZKSTARK_PEASE=on selects the constant-geometry Pease kernel — it halves
+    the Montgomery multiplies on paper, but Mosaic lowers its per-stage
+    sublane interleave (stack+reshape) catastrophically: >10 min to compile
+    at m=4096 and ~2× SLOWER at runtime (measured 2^24: 1.13 G pts/s vs the
+    DIT kernel's 1.7 G). Kept as a measured negative result + CPU-tested
+    reference implementation."""
+    return os.environ.get("ZKSTARK_PEASE", "off") == "on"
 
 
 def _roll(x, shift: int, axis: int):
@@ -100,6 +114,69 @@ def _ntt_cols_call(x2d, tw, interpret: bool):
     )(x2d, tw)
 
 
+def _ntt_cols_pease_kernel(x_ref, tw_ref, out_ref):
+    """Constant-geometry (Pease) radix-2 DIF column transform: natural-order
+    input rows, BIT-REVERSED output rows. Every stage has the identical form
+
+        a = T + B ; b = W_t ⊙ (T − B) ; x' = interleave(a, b)
+
+    (T/B = top/bottom halves; x'[2i]=a[i], x'[2i+1]=b[i]). The twiddle
+    multiplies only the difference half — HALF the Montgomery multiplies of
+    the roll+select DIT kernel above, which evaluates the product redundantly
+    on both partner rows — and there are no rolls or selects at all; the
+    interleave is one sublane shuffle. tw_ref lane t holds
+    W_t[i] = w^{(i >> t) << t} over i < m/2; the last stage's exponents are
+    all zero, so its multiply is skipped entirely."""
+    x = x_ref[:]
+    m = x.shape[0]
+    h = m // 2
+    stages = m.bit_length() - 1
+    for t in range(stages):
+        top, bot = x[:h], x[h:]
+        a = fp.add(top, bot)
+        d = fp.sub(top, bot)
+        b = fp.mont_mul(tw_ref[:, t : t + 1], d) if t < stages - 1 else d
+        x = jnp.stack([a, b], axis=1).reshape(m, a.shape[-1])
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _pease_cols_call(x2d, tw, interpret: bool):
+    m, lanes = x2d.shape
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        _ntt_cols_pease_kernel,
+        grid=(lanes // 128,),
+        in_specs=[
+            pl.BlockSpec((m, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m // 2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, lanes), jnp.uint32),
+        interpret=interpret,
+        **params,
+    )(x2d, tw)
+
+
+def _pease_twiddle_table(m: int, w: int) -> np.ndarray:
+    """(m/2, 128) uint32 Montgomery: lane t = stage-t Pease twiddle column
+    W_t[i] = w^{(i >> t) << t}. Only log2(m) lanes are used; the rest pad to
+    the TPU lane width."""
+    h = m // 2
+    stages = m.bit_length() - 1
+    i = np.arange(h)
+    tw = np.zeros((h, 128), dtype=np.uint32)
+    for t in range(stages):
+        exps = (i >> t) << t
+        col = np.array([pow(w, int(e), fp.P) for e in exps], dtype=np.uint32)
+        tw[:, t] = fp.host_to_mont(col)
+    return tw
+
+
 def _stage_twiddle_table(m: int, w: int) -> np.ndarray:
     """(m, 128) uint32: lane s = full-length stage-s twiddle column (period
     2^s), Montgomery form. Only log2(m) lanes are used; the rest pad to the
@@ -117,8 +194,24 @@ def _stage_twiddle_table(m: int, w: int) -> np.ndarray:
 _VBLK = 128  # inner factor of the twiddle-matrix decomposition (lane width)
 
 
+class FourStepPlan(NamedTuple):
+    """Constants for one (n, w, scale) four-step instance. Named fields so
+    adding a table can't silently break unpacking call sites again."""
+
+    n1: int
+    n2: int
+    tw1: jnp.ndarray  # DIT stage tables (ZKSTARK_PEASE=off path)
+    tw2: jnp.ndarray
+    twp1: jnp.ndarray  # Pease stage tables (default path)
+    twp2: jnp.ndarray
+    br1: jnp.ndarray
+    br2: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
 @functools.lru_cache(maxsize=None)
-def _fourstep_constants(n: int, w: int, inverse_scale: int | None):
+def _fourstep_constants(n: int, w: int, inverse_scale: int | None) -> FourStepPlan:
     """Factor n = n1·n2 (n1 ≥ n2 ≥ 128), stage tables and twiddle factors.
 
     The step-B twiddle matrix T[k1, j2] = w^{k1·j2} is NOT materialized (at
@@ -136,14 +229,17 @@ def _fourstep_constants(n: int, w: int, inverse_scale: int | None):
     with jax.ensure_compile_time_eval():
         from zkstark_tpu.ntt.core import bit_reverse_indices
 
-        tw1 = jnp.asarray(_stage_twiddle_table(n1, pow(w, n2, fp.P)))
-        tw2 = jnp.asarray(_stage_twiddle_table(n2, pow(w, n1, fp.P)))
+        w1, w2 = pow(w, n2, fp.P), pow(w, n1, fp.P)
+        tw1 = jnp.asarray(_stage_twiddle_table(n1, w1))
+        tw2 = jnp.asarray(_stage_twiddle_table(n2, w2))
+        twp1 = jnp.asarray(_pease_twiddle_table(n1, w1))
+        twp2 = jnp.asarray(_pease_twiddle_table(n2, w2))
         br1 = jnp.asarray(bit_reverse_indices(n1))
         br2 = jnp.asarray(bit_reverse_indices(n2))
         u, v = jax.jit(_twiddle_uv, static_argnums=(0, 1, 2, 3))(
             n1, n2, w, inverse_scale
         )
-    return n1, n2, tw1, tw2, br1, br2, u, v
+    return FourStepPlan(n1, n2, tw1, tw2, twp1, twp2, br1, br2, u, v)
 
 
 def _twiddle_uv(n1: int, n2: int, w: int, inverse_scale: int | None):
@@ -185,12 +281,24 @@ def ntt_fourstep(x, n: int, w: int, inverse_scale: int | None = None):
     """Size-n transform of a flat Montgomery vector with root w (standard
     form), natural order in/out — bit-identical to ntt.ntt with the same
     effective root. If inverse_scale (Montgomery n^{-1}) is given it is folded
-    in, making this a complete INTT."""
-    n1, n2, tw1, tw2, br1, br2, u, v = _fourstep_constants(n, w, inverse_scale)
+    in, making this a complete INTT.
+
+    Pease path (default): the kernels take natural-order rows and emit
+    bit-reversed rows, so the row bit-reversal gathers move AFTER each kernel
+    (take∘br is an involution un-permuting the output) — same pass count as
+    the DIT path, half the in-kernel multiplies."""
+    c = _fourstep_constants(n, w, inverse_scale)
     interp = pallas_interpret()
-    xb = jnp.take(x.reshape(n1, n2), br1, axis=0)
-    a = _ntt_cols_call(xb, tw1, interp)  # (n1, n2) column NTTs
-    b = _apply_twiddle(a, u, v)  # step-B twiddles (fused by XLA)
-    bt = jnp.take(b.T, br2, axis=0)  # (n2, n1)
-    d = _ntt_cols_call(bt, tw2, interp)  # (n2, n1) column NTTs
+    if pease_enabled():
+        a_br = _pease_cols_call(x.reshape(c.n1, c.n2), c.twp1, interp)
+        a = jnp.take(a_br, c.br1, axis=0)  # rows back to natural k1
+        b = _apply_twiddle(a, c.u, c.v)  # fused with the gather by XLA
+        d_br = _pease_cols_call(b.T, c.twp2, interp)  # (n2, n1) column NTTs
+        d = jnp.take(d_br, c.br2, axis=0)  # rows back to natural k2
+        return d.reshape(n)
+    xb = jnp.take(x.reshape(c.n1, c.n2), c.br1, axis=0)
+    a = _ntt_cols_call(xb, c.tw1, interp)  # (n1, n2) column NTTs
+    b = _apply_twiddle(a, c.u, c.v)  # step-B twiddles (fused by XLA)
+    bt = jnp.take(b.T, c.br2, axis=0)  # (n2, n1)
+    d = _ntt_cols_call(bt, c.tw2, interp)  # (n2, n1) column NTTs
     return d.reshape(n)

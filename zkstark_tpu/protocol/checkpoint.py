@@ -163,7 +163,9 @@ class ResumableProver:
             from zkstark_tpu.protocol import fused as fused_mod
 
             trace_mont = pr._trace_to_device(cfg, self.secret)
-            out = jax.device_get(fused_mod.fused_core(cfg, trace_mont, None))
+            out = fused_mod.unpack_out(
+                cfg, jax.device_get(fused_mod.fused_core_packed(cfg, trace_mont, None))
+            )
             queries = pr.fused_replay(cfg, channel, out)
             arrays = dict(out)
             arrays["queries_drawn"] = np.asarray(queries, dtype=np.int64)

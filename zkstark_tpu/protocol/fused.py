@@ -3,9 +3,10 @@
 The host-synced prover (prover.py) blocks on a device→host round trip at
 every challenge boundary — 13 per proof (SURVEY.md §3.5). Here the channel
 hash chain itself runs on device (transcript/device_channel.py), so
-interpolation, LDE, Merkle commits, composition, every FRI fold, and every
-challenge derivation compile into ONE XLA program with a single bulk fetch
-at the end for decommitment.
+interpolation, LDE, Merkle commits, composition, every FRI fold, every
+challenge derivation, AND the phase-4 sparse opening gathers compile into
+ONE XLA program; only the roots, challenges, and a few KB of gathered
+openings ever cross the host link.
 
 The host then *replays* the byte transcript with the host Channel from the
 fetched roots/values (≈40 hashlib calls, microseconds) and asserts each
@@ -44,8 +45,10 @@ def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
 
     Returns a dict: roots (2+fri_rounds, 8) u32 digests in commit order,
     alphas (n_constraints,), betas (fri_rounds,), free_term (),
-    queries (n_queries,), plus f_res and per-layer residues and Merkle levels
-    for phase-4 openings."""
+    queries (n_queries,), plus the phase-4 openings gathered ON DEVICE —
+    open_f_vals/open_f_paths (per query, per AIR shift), open_cp_vals/
+    open_cp_paths, and per-FRI-layer open_fri_vals/open_fri_paths pairs —
+    so only a few KB ever cross the host link."""
     if mesh is not None:
         from zkstark_tpu.parallel.fri_sharded import fold_sharded
         from zkstark_tpu.parallel.merkle_sharded import sharded_build_levels
@@ -140,8 +143,136 @@ def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
         "betas": jnp.stack(betas) if betas else jnp.zeros(0, jnp.uint32),
         "free_term": free_term,
         "queries": jnp.stack(queries),
-        "f_res": f_res,
-        "f_levels": f_levels,
-        "layer_res": layer_res,
-        "layer_levels": layer_levels,
+        **sparse_openings(cfg, f_res, f_levels, layer_res, layer_levels, queries),
+    }
+
+
+def pack_tree(out):
+    """Ravel every (uint32) leaf of a pytree into ONE flat device vector.
+
+    The fused output dict is ~30 tiny arrays; on a remote-device link each
+    buffer fetch pays a round trip (~40 ms total for a few KB of openings).
+    One concatenated vector = one transfer; the host re-slices with
+    unpack_tree (shapes are static per config via jax.eval_shape — no extra
+    compile or device work)."""
+    return jnp.concatenate([jnp.ravel(leaf) for leaf in jax.tree.leaves(out)])
+
+
+def unpack_tree(flat, shapes):
+    """Host-side inverse of pack_tree. `shapes` = jax.eval_shape of the
+    unpacked pytree; returns numpy arrays in that structure."""
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    flat = np.asarray(flat)
+    out, pos = [], 0
+    for leaf in leaves:
+        size = int(np.prod(leaf.shape)) if leaf.shape else 1
+        out.append(flat[pos : pos + size].reshape(leaf.shape))
+        pos += size
+    assert pos == flat.shape[0], (pos, flat.shape)
+    return jax.tree.unflatten(treedef, out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fused_core_packed(cfg: StarkConfig, trace_mont, mesh=None):
+    """fused_core with the whole output packed into one flat uint32 vector."""
+    return pack_tree(fused_core(cfg, trace_mont, mesh))
+
+
+@functools.lru_cache(maxsize=None)
+def _out_spec(cfg: StarkConfig):
+    return jax.eval_shape(
+        functools.partial(fused_core.__wrapped__, cfg, mesh=None),
+        jax.ShapeDtypeStruct((cfg.trace_len,), jnp.uint32),
+    )
+
+
+def unpack_out(cfg: StarkConfig, flat, mesh=None) -> dict:
+    """Host-side inverse of fused_core_packed (mesh doesn't change shapes)."""
+    return unpack_tree(flat, _out_spec(cfg))
+
+
+# ---- Phase 4 openings: SPARSE device-side gathers (SURVEY.md:110) --------
+# Fetching every Merkle level to the host costs ~1 MB over the device link
+# (90 ms of the round-2 prove latency); the openings themselves are a few
+# KB. The query indices live on device (the channel ran here), so gather
+# exactly the opened values + auth-path siblings and ship only those.
+# Sharded levels: the gathers become tiny GSPMD collectives. All helpers are
+# batch-generic over leading axes (the batched prover passes (B,) queries).
+
+
+def _take_val(arr, idx):
+    """arr (..., n), idx (...,) uint32 → (...,)."""
+    return jnp.take_along_axis(arr, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
+def _take_digest(level, idx):
+    """level (..., k, 8), idx (...,) → (..., 8)."""
+    return jnp.take_along_axis(level, idx[..., None, None].astype(jnp.int32), axis=-2)[
+        ..., 0, :
+    ]
+
+
+def _auth_path(levels, idx):
+    """Sibling digests leaf→root: (..., depth, 8). idx is a traced index."""
+    sibs = []
+    i = idx
+    for level in levels[:-1]:
+        sibs.append(_take_digest(level, i ^ jnp.uint32(1)))
+        i = i >> 1
+    if not sibs:
+        return jnp.zeros(jnp.shape(idx) + (0, 8), jnp.uint32)
+    return jnp.stack(sibs, axis=-2)
+
+
+def sparse_openings(cfg, f_res, f_levels, layer_res, layer_levels, queries) -> dict:
+    """Every phase-4 opening (values + auth-path siblings), gathered on
+    device. `queries` is a list of traced uint32 indices (any leading batch
+    shape); layer 0 of layer_res/layer_levels is the composition tree."""
+    b = jnp.uint32(cfg.blowup)
+    f_vals, f_paths, cp_vals, cp_paths = [], [], [], []
+    fri_vals = [[] for _ in range(cfg.fri_rounds)]
+    fri_paths = [[] for _ in range(cfg.fri_rounds)]
+    for x in queries:
+        f_vals.append(
+            jnp.stack(
+                [_take_val(f_res, x + jnp.uint32(k) * b) for k in cfg.air.shifts],
+                axis=-1,
+            )
+        )
+        f_paths.append(
+            jnp.stack(
+                [_auth_path(f_levels, x + jnp.uint32(k) * b) for k in cfg.air.shifts],
+                axis=-3,
+            )
+        )
+        cp_vals.append(_take_val(layer_res[0], x))
+        cp_paths.append(_auth_path(layer_levels[0], x))
+        for layer in range(cfg.fri_rounds):
+            mask = jnp.uint32((cfg.eval_domain >> layer) - 1)
+            xi = x & mask
+            nxi = (xi + jnp.uint32(cfg.eval_domain >> (layer + 1))) & mask
+            fri_vals[layer].append(
+                jnp.stack(
+                    [_take_val(layer_res[layer], xi), _take_val(layer_res[layer], nxi)],
+                    axis=-1,
+                )
+            )
+            fri_paths[layer].append(
+                jnp.stack(
+                    [
+                        _auth_path(layer_levels[layer], xi),
+                        _auth_path(layer_levels[layer], nxi),
+                    ],
+                    axis=-3,
+                )
+            )
+    return {
+        "open_f_vals": jnp.stack(f_vals, axis=-2),  # (..., q, n_shifts)
+        "open_f_paths": jnp.stack(f_paths, axis=-4),  # (..., q, n_shifts, d, 8)
+        "open_cp_vals": jnp.stack(cp_vals, axis=-1),  # (..., q)
+        "open_cp_paths": jnp.stack(cp_paths, axis=-3),  # (..., q, d, 8)
+        "open_fri_vals": [jnp.stack(v, axis=-2) for v in fri_vals],  # (..., q, 2)
+        "open_fri_paths": [jnp.stack(p, axis=-4) for p in fri_paths],
     }

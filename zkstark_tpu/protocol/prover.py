@@ -230,14 +230,39 @@ def fused_replay(cfg: StarkConfig, channel, out) -> list:
     return queries
 
 
+def _path_bytes(path_arr) -> list:
+    """(depth, 8) uint32 digest rows → list of 32-byte sibling digests."""
+    arr = np.asarray(path_arr)
+    return [sha256.digest_to_bytes(arr[d]) for d in range(arr.shape[0])]
+
+
 def fused_decommit(cfg: StarkConfig, channel, art, out, queries) -> None:
-    """Phase 4 for the fused path: openings out of the fetched level arrays."""
-    f_tree_h = merkle.MerkleTree(levels=list(out["f_levels"]))
-    trees_h = [merkle.MerkleTree(levels=list(lv)) for lv in out["layer_levels"]]
-    _decommit(
-        cfg, channel, art, out["f_res"], f_tree_h, list(out["layer_res"]),
-        trees_h, list(queries),
-    )
+    """Phase 4 for the fused path: serialize the device-gathered sparse
+    openings (values + auth-path siblings picked on device by fused_core —
+    SURVEY.md:110's sparse gathers; only KBs cross the host link, never the
+    full Merkle levels). Commit order matches _decommit / prover.rs:256-289."""
+    for qi in range(len(queries)):
+        for si in range(len(cfg.air.shifts)):
+            channel.commit_bytes(
+                bincode.ser_opening(
+                    int(out["open_f_vals"][qi][si]),
+                    _path_bytes(out["open_f_paths"][qi][si]),
+                )
+            )
+        channel.commit_bytes(
+            bincode.ser_opening(
+                int(out["open_cp_vals"][qi]), _path_bytes(out["open_cp_paths"][qi])
+            )
+        )
+        for layer in range(cfg.fri_rounds):
+            v = out["open_fri_vals"][layer][qi]
+            p = out["open_fri_paths"][layer][qi]
+            channel.commit_bytes(
+                bincode.ser_fri_opening(
+                    int(v[0]), int(v[1]), _path_bytes(p[0]), _path_bytes(p[1])
+                )
+            )
+    art.query_indices = list(queries)
 
 
 def _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, queries):
@@ -336,9 +361,9 @@ def prove(
     if fused:
         from zkstark_tpu.protocol import fused as fused_mod
 
-        out_dev = fused_mod.fused_core(cfg, trace_mont, mesh)
+        out_dev = fused_mod.fused_core_packed(cfg, trace_mont, mesh)
         clock.lap("device_program", block_on=out_dev)
-        out = jax.device_get(out_dev)
+        out = fused_mod.unpack_out(cfg, jax.device_get(out_dev), mesh)
         clock.lap("fetch")
         queries = fused_replay(cfg, channel, out)
         fused_decommit(cfg, channel, art, out, queries)

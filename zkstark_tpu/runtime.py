@@ -15,22 +15,36 @@ import os
 _DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/zkstark_jax_cache")
 
 
+def _axon_backend() -> bool:
+    """True when JAX runs through the experimental `axon` remote TPU tunnel.
+
+    The axon PJRT plugin reports platform "tpu", so jax.default_backend()
+    can't distinguish it — but the plugin only loads when JAX_PLATFORMS
+    selects it, and its sitecustomize sets that env var."""
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "axon"
+    except Exception:
+        return True  # can't tell — keep the cache off rather than wedge
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Turn on JAX's persistent compilation cache (idempotent).
 
     Returns the cache dir, or None if disabled. On the experimental `axon`
-    remote-compile backend, serializing the large fused-prover executable
-    wedges the tunnel (observed: compile that takes 195 s cache-off never
-    returns cache-on), so the cache defaults OFF there — force with
-    ZKSTARK_CACHE_DIR."""
+    remote-compile backend, (de)serializing the large fused-prover
+    executable wedges the tunnel — observed twice: a compile that takes
+    ~200 s cache-off never returns with the cache on, and a second process
+    reading the written entry hangs >12 min with zero progress — so the
+    cache defaults OFF there. Force with ZKSTARK_CACHE_DIR."""
     import jax
 
     cache_dir = path or os.environ.get("ZKSTARK_CACHE_DIR")
     if cache_dir is None:
-        try:
-            if jax.default_backend() == "axon":
-                return None
-        except Exception:
+        if _axon_backend():
             return None
         cache_dir = _DEFAULT_CACHE_DIR
     try:
