@@ -110,6 +110,23 @@ def ntt_sol_seconds(log_n: int) -> float:
     return 6 * n * 4 / HBM_BYTES_PER_SEC
 
 
+# The NTT is NOT HBM-bound: u32 Montgomery math is pure VPU work (TPU has no
+# 32×32→64 multiply, fp._mul32_wide synthesizes it from 16-bit limbs).
+# Ops/point, counted from field/fp.py + ops/ntt_kernel.py lowering:
+#   mont_mul ≈ 50 u32 VPU ops (_mul32_wide 20, _mont_reduce/_mp_hi 30);
+#   DIT stage/elt ≈ 62 (2 rolls + parity select + mont_mul + add/sub/select);
+#   full four-step = 2·log2(4096) = 24 stages + UV twiddle (2 mont_mul).
+NTT_U32_OPS_PER_POINT = 24 * 62 + 2 * 50
+# v5e VPU peak: 4 VPUs × (8×128) lanes × 1.74 GHz ≈ 7.1e12 u32 ops/s.
+VPU_U32_OPS_PER_SEC = 7.1e12
+
+
+def ntt_compute_sol_seconds(log_n: int) -> float:
+    """Compute-bound (VPU) speed-of-light — the binding roofline for this
+    kernel; the HBM ratio above is reported alongside for context."""
+    return (1 << log_n) * NTT_U32_OPS_PER_POINT / VPU_U32_OPS_PER_SEC
+
+
 def bench_merkle(log_n: int, repeats: int = 5) -> float:
     """SHA-256 hashes/sec for a full 2^log_n-leaf commitment (≈2n hashes)."""
     import jax
@@ -173,11 +190,15 @@ def main():
         sol = ntt_sol_seconds(24)
         out["ntt_points_per_sec_2e24"] = round(pps)
         out["ntt_sol_ratio_2e24"] = round((1 << 24) / pps / sol, 2)
+        out["ntt_vpu_ratio_2e24"] = round(
+            (1 << 24) / pps / ntt_compute_sol_seconds(24), 2
+        )
         eprint(
             {
                 "metric": "ntt_points_per_sec_2e24",
                 "value": pps,
                 "sol_ratio": out["ntt_sol_ratio_2e24"],
+                "vpu_ratio": out["ntt_vpu_ratio_2e24"],
             }
         )
         hps = bench_merkle(20)

@@ -4,6 +4,10 @@ Each measurement jits ONE program that runs the transform `reps` times
 back-to-back (output feeds input, so nothing is DCE'd) — per-call RPC latency
 of the axon tunnel is amortized away.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import functools
 import time

@@ -1,5 +1,9 @@
 """Scratch: time the individual steps of ntt_fourstep via jitted scan loops."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -6,6 +6,10 @@ monitoring event listeners, then print a sorted table of compile spans.
 
     PYTHONPATH=/root/repo python tools/profile_warmup.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import time
 

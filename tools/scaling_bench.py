@@ -14,6 +14,10 @@ BASELINE.md ≥80%-efficiency number.
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/scaling_bench.py --bits 24 --devices 1 2 4 8
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -199,9 +199,27 @@ def pow_static(a, e: int):
     return result
 
 
+# LSB-first bits of p−2, consumed by the inv() scan below.
+_P_MINUS_2_BITS = np.array([((P - 2) >> i) & 1 for i in range(32)], dtype=bool)
+
+
 def inv(a):
-    """Fermat inverse a^{p-2}, vectorized (reference field.rs:206-211 semantics)."""
-    return pow_static(a, P - 2)
+    """Fermat inverse a^{p-2}, vectorized (reference field.rs:206-211 semantics).
+
+    Square-and-multiply as a `lax.scan` over the 32 exponent bits: the
+    unrolled chain (pow_static) traces ~2k primitives per call site, which
+    measurably dominated cold-prove warm-up (jaxpr trace + MLIR lowering of
+    the composition constants); the scan body traces once (~60 primitives)
+    with the identical multiply count at runtime."""
+
+    def step(carry, bit):
+        result, base = carry
+        result = jnp.where(bit, mont_mul(result, base), result)
+        return (result, mont_mul(base, base)), None
+
+    init = (jnp.full_like(a, jnp.uint32(R_MOD_P)), a)
+    (result, _), _ = jax.lax.scan(step, init, jnp.asarray(_P_MINUS_2_BITS))
+    return result
 
 
 def device_powers(base: int, n: int) -> jnp.ndarray:

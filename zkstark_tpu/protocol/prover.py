@@ -352,11 +352,30 @@ def prove(
     channel = channel or Channel()
     art = artifacts if artifacts is not None else ProverArtifacts()
     clock = _PhaseClock(timings)
-    trace_mont = _trace_to_device(cfg, secret)
-    clock.lap("trace", block_on=trace_mont)
 
     if mesh is not None and not fused:
         raise ValueError("sharded proving requires the fused path")
+
+    # A mesh on a different platform than the process default backend (the
+    # standard CPU-mesh simulation on a box that also has a TPU attached)
+    # must pin the default device to the mesh's platform for the whole call:
+    # kernel routing (ops.pallas_mode) and constant materialization follow
+    # the default device, and Mosaic kernels lowered for TPU cannot run
+    # inside a CPU shard_map.
+    import contextlib
+
+    ctx = (
+        jax.default_device(mesh.devices.flat[0])
+        if mesh is not None
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        return _prove_inner(cfg, secret, channel, art, fused, clock, mesh)
+
+
+def _prove_inner(cfg, secret, channel, art, fused, clock, mesh):
+    trace_mont = _trace_to_device(cfg, secret)
+    clock.lap("trace", block_on=trace_mont)
 
     if fused:
         from zkstark_tpu.protocol import fused as fused_mod
