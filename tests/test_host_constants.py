@@ -1,0 +1,39 @@
+"""Host-numpy protocol constants == device-jit builders, bit-for-bit.
+
+composition_constants / fri_layer_constants route small domains to exact
+numpy (the device eager-jit builders dominated cold-prove warm-up on a
+remote-compile backend); the golden-transcript tests pin the host path
+end-to-end, and this pins the two builders against each other directly so
+the >_HOST_CONST_MAX device path can't drift."""
+
+import numpy as np
+import jax
+
+from zkstark_tpu.protocol import prover
+from zkstark_tpu.protocol.air import fibonacci_sq_trace
+from zkstark_tpu.protocol.config import StarkConfig
+
+
+def _small_cfg():
+    trace = fibonacci_sq_trace(63, 12345)
+    return StarkConfig(trace_len=63, blowup=8, boundary_last=int(trace[-1]))
+
+
+def test_composition_constants_host_matches_device():
+    cfg = _small_cfg()
+    host = prover._composition_constants_host(cfg)
+    dev = jax.jit(prover._composition_constants_impl, static_argnums=0)(cfg)
+    np.testing.assert_array_equal(np.asarray(host["xs"]), np.asarray(dev["xs"]))
+    assert len(host["inv_dens"]) == len(dev["inv_dens"])
+    for a, b in zip(host["inv_dens"], dev["inv_dens"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fri_layer_constants_host_matches_device():
+    cfg = _small_cfg()
+    for layer in range(cfg.fri_rounds):
+        host = prover.fri_layer_constants(cfg, layer)  # small => host path
+        dev = jax.jit(prover._fri_layer_constants_impl, static_argnums=(0, 1))(
+            cfg, layer
+        )
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))

@@ -334,3 +334,30 @@ def host_to_mont(arr: np.ndarray) -> np.ndarray:
     return ((arr.astype(np.uint64) * np.uint64(R_MOD_P)) % np.uint64(P)).astype(
         np.uint32
     )
+
+
+def host_powers_pow2(base: int, n: int, scale: int = 1) -> np.ndarray:
+    """[scale·base^j for j < n] as uint32 residues, n a power of two —
+    numpy log-doubling (log2(n) vectorized u64 modmul passes; host_powers'
+    per-element Python loop is too slow past ~2^14). All products are
+    < 2^32·2^32 so u64 arithmetic is exact."""
+    assert n & (n - 1) == 0
+    arr = np.array([scale % P], dtype=np.uint64)
+    while arr.shape[0] < n:
+        step = np.uint64(pow(base, arr.shape[0], P))
+        arr = np.concatenate([arr, (arr * step) % np.uint64(P)])
+    return arr.astype(np.uint32)
+
+
+def host_inv_vec(a: np.ndarray) -> np.ndarray:
+    """Vectorized exact Fermat inverse of uint32 residues (numpy u64
+    square-and-multiply — 32 passes; zero maps to zero like pow())."""
+    r = np.ones_like(a, dtype=np.uint64)
+    b = a.astype(np.uint64)
+    e = P - 2
+    while e:
+        if e & 1:
+            r = (r * b) % np.uint64(P)
+        b = (b * b) % np.uint64(P)
+        e >>= 1
+    return r.astype(np.uint32)

@@ -40,19 +40,73 @@ def _mont_scalar(v: int) -> jnp.ndarray:
     return jnp.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
 
 
+# Domains up to this size get their protocol constants from exact host
+# numpy (microseconds, zero XLA compiles); bigger domains keep the device
+# path, whose arrays stay shardable under GSPMD instead of becoming huge
+# replicated MLIR constants.
+_HOST_CONST_MAX = 1 << 20
+
+
 @functools.lru_cache(maxsize=None)
 def composition_constants(cfg: StarkConfig):
-    """Device-resident denominators for the pointwise constraint evaluation.
+    """Denominators for the pointwise constraint evaluation (device arrays).
 
     The coset offset·⟨h⟩ is disjoint from ⟨h⟩ ⊇ ⟨g⟩ (offset=5 generates all of
     F_p^*), so every denominator is invertible on the evaluation domain and the
     reference's exact polynomial divisions (no remainder, prover.rs:148-151)
     equal these pointwise quotients.
+
+    Host-numpy path for ordinary domains: profiling showed the eager-jitted
+    device builder paying ~15-45 s of trace/MLIR/compile PER constant program
+    on the remote-compile backend — the bulk of cold-prove warm-up — for what
+    is a handful of exact vectorized modmuls on the host.
     """
+    if cfg.eval_domain <= _HOST_CONST_MAX:
+        return _composition_constants_host(cfg)
     # jitted: one cached XLA program instead of hundreds of eager dispatches
     # (each eager op costs a compile round trip on a remote-compile backend).
     with jax.ensure_compile_time_eval():
         return jax.jit(_composition_constants_impl, static_argnums=0)(cfg)
+
+
+def _composition_constants_host(cfg: StarkConfig):
+    """Exact numpy twin of _composition_constants_impl (same Montgomery-form
+    uint32 outputs bit-for-bit; u64 modular arithmetic is exact)."""
+    n, d, o = cfg.trace_domain, cfg.eval_domain, cfg.coset_offset
+    g = cfg.trace_generator
+    h = cfg.domain_generator
+    p64 = np.uint64(fp.P)
+
+    xs_std = fp.host_powers_pow2(h, d, scale=o)  # the coset domain, residues
+    xs64 = xs_std.astype(np.uint64)
+
+    inv_dens = []
+    for con in cfg.constraints:
+        if isinstance(con, air.Boundary):
+            point = np.uint64(pow(g, con.step, fp.P))
+            den = (xs64 + p64 - point) % p64
+            inv_dens.append(fp.host_to_mont(fp.host_inv_vec(den)))
+        else:
+            # x^n − 1 over the coset, then ×(x − g^e) per exempt point
+            xn = np.ones_like(xs64)
+            base, e = xs64, n
+            while e:
+                if e & 1:
+                    xn = (xn * base) % p64
+                base = (base * base) % p64
+                e >>= 1
+            num = (xn + p64 - np.uint64(1)) % p64
+            den = np.ones_like(xs64)
+            for ex in con.exempt:
+                ge = np.uint64(pow(g, ex, fp.P))
+                den = (den * ((xs64 + p64 - ge) % p64)) % p64
+            inv = (den * fp.host_inv_vec(num).astype(np.uint64)) % p64
+            inv_dens.append(fp.host_to_mont(inv.astype(np.uint32)))
+
+    return {
+        "xs": jnp.asarray(fp.host_to_mont(xs_std)),
+        "inv_dens": tuple(jnp.asarray(v) for v in inv_dens),
+    }
 
 
 def _composition_constants_impl(cfg: StarkConfig):
@@ -90,7 +144,18 @@ def fri_layer_constants(cfg: StarkConfig, layer: int):
     """Inverse first-half domain for the evaluation-form fold at `layer`.
 
     Layer-k domain is {offset^{2^k}·(h^{2^k})^j}; we need 1/x_j for j < m/2
-    plus the constant 1/2."""
+    plus the constant 1/2. Host-numpy below _HOST_CONST_MAX (see
+    composition_constants: the per-layer eager-jit builders were the largest
+    single cold-prove warm-up cost on a remote-compile backend)."""
+    if cfg.eval_domain <= _HOST_CONST_MAX:
+        d = cfg.eval_domain >> layer
+        base = pow(cfg.domain_generator, 1 << layer, fp.P)
+        off = pow(cfg.coset_offset, 1 << layer, fp.P)
+        inv_base = pow(base, fp.P - 2, fp.P)
+        inv_off = pow(off, fp.P - 2, fp.P)
+        return jnp.asarray(
+            fp.host_to_mont(fp.host_powers_pow2(inv_base, d // 2, scale=inv_off))
+        )
     with jax.ensure_compile_time_eval():
         return jax.jit(_fri_layer_constants_impl, static_argnums=(0, 1))(cfg, layer)
 
