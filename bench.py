@@ -1,4 +1,5 @@
-"""Benchmark harness — prints ONE JSON line with the headline metrics.
+"""Benchmark harness — streams cumulative JSON lines; the LAST line is the
+round's record.
 
 Headline: end-to-end stark-101 prove latency (trace 1023 → 7836-byte proof,
 including the host Fiat-Shamir spine and decommitments), verified after
@@ -7,23 +8,30 @@ in this environment (BASELINE.md): the survey's single-core Python replay of
 the reference pipeline at 9.1 s (no Rust toolchain exists here and the
 reference publishes no numbers).
 
-The one stdout JSON object also carries every BASELINE.json north-star
-metric measured in the DEFAULT run (no flags needed):
-  * ntt_points_per_sec_2e24 + ntt_sol_ratio_2e24 — the 2^24 kernel number,
-    timed with a jitted scan loop (device-fenced, dispatch amortized) and
-    compared to the HBM speed-of-light;
-  * merkle_hashes_per_sec_2e20 — 2^20-leaf commitment throughput;
-  * proofs_per_sec_b8 — data-parallel batched proving (protocol/batch.py);
-  * warmup_prove_seconds — fresh-process first proof (compile included;
-    the persistent compilation cache makes this drop across processes);
-  * phases — per-phase breakdown of one instrumented prove.
+Crash/timeout-proof reporting (round-3 lesson: rc=124 with a single
+end-of-run print recorded NOTHING): after EVERY measurement the full
+cumulative record is re-printed as one stdout JSON line — the driver parses
+the last line of the tail, so a timeout truncates the tail of metrics
+instead of zeroing the round. A provisional headline line is emitted right
+after the first timed prove, then refined. An elapsed-time budget
+(--budget / ZKSTARK_BENCH_BUDGET, default 1200 s) gates each expensive
+kernel metric; skipped metrics are listed in the record's "skipped" field.
 
-Progress/diagnostic lines go to stderr as JSON; --all adds the smaller-domain
-sweep (2^16/2^20/2^22).
+Metrics in the default run (BASELINE.json north stars), cheapest-first so a
+budget cut costs the least information:
+  * stark101_prove_latency (+ warmup_prove_seconds, verify_seconds, phases);
+  * merkle_hashes_per_sec_2e20 — 2^20-leaf commitment throughput;
+  * ntt_points_per_sec_2e24 + sol/vpu ratios — the 2^24 kernel number,
+    timed with a jitted scan loop (device-fenced, dispatch amortized);
+  * proofs_per_sec_b8 — data-parallel batched proving (protocol/batch.py).
+
+Progress/diagnostic lines go to stderr as JSON; --all adds the
+smaller-domain sweep (2^16/2^20/2^22).
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -32,41 +40,94 @@ import numpy as np
 BASELINE_REPLAY_SECONDS = 9.1  # BASELINE.md: survey Python replay, 1 CPU core
 HBM_BYTES_PER_SEC = 819e9  # v5e HBM bandwidth (speed-of-light denominator)
 
+_START = time.perf_counter()
+
 
 def eprint(obj):
     print(json.dumps(obj), file=sys.stderr, flush=True)
 
 
-def bench_stark101(repeats: int, out: dict) -> float:
+class Record:
+    """Cumulative benchmark record, re-printed to stdout after every update
+    so the last stdout line always carries everything measured so far."""
+
+    def __init__(self):
+        self.extra = {}
+        self.best = None
+        self.provisional = True
+        self.skipped = []
+
+    def emit(self):
+        line = {
+            "metric": "stark101_prove_latency",
+            "value": round(self.best, 4) if self.best is not None else None,
+            "unit": "seconds",
+            "vs_baseline": (
+                round(BASELINE_REPLAY_SECONDS / self.best, 2) if self.best else None
+            ),
+            **self.extra,
+        }
+        if self.provisional:
+            line["provisional"] = True
+        if self.skipped:
+            line["skipped"] = self.skipped
+        print(json.dumps(line), flush=True)
+
+    def update(self, **kw):
+        self.extra.update(kw)
+        self.emit()
+
+
+def elapsed() -> float:
+    return time.perf_counter() - _START
+
+
+def over_budget(budget: float, section: str, rec: Record, reserve: float = 0.0):
+    """True (and records the skip) if running `section` would bust the budget."""
+    if elapsed() + reserve > budget:
+        rec.skipped.append(section)
+        eprint({"phase": "skipped", "section": section, "elapsed": elapsed()})
+        rec.emit()
+        return True
+    return False
+
+
+def bench_stark101(repeats: int, rec: Record):
     from zkstark_tpu.protocol import STARK101, STARK101_SECRET, prove, verify
 
     # warm-up: compile everything once
     t0 = time.perf_counter()
     proof = prove(STARK101, STARK101_SECRET)
     warmup = time.perf_counter() - t0
-    out["warmup_prove_seconds"] = round(warmup, 3)
     eprint({"phase": "warmup_prove_seconds", "value": warmup})
     assert len(proof.data) == 7836
+    rec.update(warmup_prove_seconds=round(warmup, 3))
 
-    times = []
-    for _ in range(repeats):
+    # first timed repeat → provisional headline, so a timeout after this
+    # point still records a real steady-state latency
+    t0 = time.perf_counter()
+    proof = prove(STARK101, STARK101_SECRET)
+    times = [time.perf_counter() - t0]
+    rec.best = times[0]
+    rec.emit()
+
+    for _ in range(repeats - 1):
         t0 = time.perf_counter()
         proof = prove(STARK101, STARK101_SECRET)
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    rec.best = min(times)
+    rec.provisional = False
+    rec.emit()
+    eprint({"phase": "prove_seconds_all", "value": times})
+
+    t0 = time.perf_counter()
+    verify(proof, STARK101)
+    rec.update(verify_seconds=round(time.perf_counter() - t0, 5))
 
     # one instrumented run: named phase spans (SURVEY.md §5 metrics)
     timings = {}
     prove(STARK101, STARK101_SECRET, timings=timings)
-    out["phases"] = {k: round(v, 5) for k, v in timings.items()}
-    eprint({"phase": "prove_phases", "value": out["phases"]})
-
-    t0 = time.perf_counter()
-    verify(proof, STARK101)
-    out["verify_seconds"] = round(time.perf_counter() - t0, 5)
-    eprint({"phase": "verify_seconds", "value": out["verify_seconds"]})
-    eprint({"phase": "prove_seconds_all", "value": times})
-    return best
+    rec.update(phases={k: round(v, 5) for k, v in timings.items()})
 
 
 def bench_ntt(log_n: int, reps: int = 8) -> float:
@@ -167,50 +228,62 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--all", action="store_true", help="also run kernel sweep")
+    ap.add_argument("--quick", action="store_true", help="skip kernel + batch metrics")
     ap.add_argument(
-        "--quick", action="store_true", help="skip kernel + batch metrics"
+        "--budget",
+        type=float,
+        default=float(os.environ.get("ZKSTARK_BENCH_BUDGET", 1200)),
+        help="soft wall-clock budget (s); kernel metrics are skipped past it",
     )
     args = ap.parse_args()
 
+    from zkstark_tpu.parallel.mesh import initialize_distributed
     from zkstark_tpu.runtime import enable_compilation_cache
 
+    n_procs = initialize_distributed()  # no-op single-process
     cache_dir = enable_compilation_cache()
-    eprint({"phase": "compilation_cache", "value": cache_dir})
+    eprint({"phase": "compilation_cache", "value": cache_dir, "processes": n_procs})
 
     import jax
 
     eprint({"phase": "devices", "value": [str(d) for d in jax.devices()]})
 
-    out = {}
-    best = bench_stark101(args.repeats, out)
+    rec = Record()
+    bench_stark101(args.repeats, rec)
 
     if not args.quick:
-        # ---- the BASELINE.json headline kernel metrics, default path ----
-        pps = bench_ntt(24)
-        sol = ntt_sol_seconds(24)
-        out["ntt_points_per_sec_2e24"] = round(pps)
-        out["ntt_sol_ratio_2e24"] = round((1 << 24) / pps / sol, 2)
-        out["ntt_vpu_ratio_2e24"] = round(
-            (1 << 24) / pps / ntt_compute_sol_seconds(24), 2
-        )
-        eprint(
-            {
-                "metric": "ntt_points_per_sec_2e24",
-                "value": pps,
-                "sol_ratio": out["ntt_sol_ratio_2e24"],
-                "vpu_ratio": out["ntt_vpu_ratio_2e24"],
-            }
-        )
-        hps = bench_merkle(20)
-        out["merkle_hashes_per_sec_2e20"] = round(hps)
-        eprint({"metric": "merkle_hashes_per_sec_2e20", "value": hps})
-        pfs = bench_proofs_per_sec(8)
-        out["proofs_per_sec_b8"] = round(pfs, 3)
-        eprint({"metric": "proofs_per_sec_b8", "value": pfs})
+        # ---- BASELINE.json kernel metrics, cheapest first, budget-gated ----
+        if not over_budget(args.budget, "merkle_2e20", rec):
+            hps = bench_merkle(20)
+            rec.update(merkle_hashes_per_sec_2e20=round(hps))
+            eprint({"metric": "merkle_hashes_per_sec_2e20", "value": hps})
+        if not over_budget(args.budget, "ntt_2e24", rec):
+            pps = bench_ntt(24)
+            sol = ntt_sol_seconds(24)
+            rec.update(
+                ntt_points_per_sec_2e24=round(pps),
+                ntt_sol_ratio_2e24=round((1 << 24) / pps / sol, 2),
+                ntt_vpu_ratio_2e24=round((1 << 24) / pps / ntt_compute_sol_seconds(24), 2),
+            )
+            eprint(
+                {
+                    "metric": "ntt_points_per_sec_2e24",
+                    "value": pps,
+                    "sol_ratio": rec.extra["ntt_sol_ratio_2e24"],
+                    "vpu_ratio": rec.extra["ntt_vpu_ratio_2e24"],
+                }
+            )
+        if not over_budget(args.budget, "proofs_per_sec_b8", rec):
+            pfs = bench_proofs_per_sec(8)
+            rec.update(proofs_per_sec_b8=round(pfs, 3))
+            eprint({"metric": "proofs_per_sec_b8", "value": pfs})
 
     if args.all:
         for log_n in (16, 20, 22):
+            if over_budget(args.budget, f"ntt_2e{log_n}", rec):
+                continue
             pps = bench_ntt(log_n)
+            rec.update(**{f"ntt_points_per_sec_2e{log_n}": round(pps)})
             eprint(
                 {
                     "metric": f"ntt_points_per_sec_2e{log_n}",
@@ -220,18 +293,7 @@ def main():
                 }
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "stark101_prove_latency",
-                "value": round(best, 4),
-                "unit": "seconds",
-                "vs_baseline": round(BASELINE_REPLAY_SECONDS / best, 2),
-                **out,
-            }
-        ),
-        flush=True,
-    )
+    rec.update(total_bench_seconds=round(elapsed(), 1))
 
 
 if __name__ == "__main__":

@@ -174,8 +174,12 @@ def main(argv=None) -> int:
     r.set_defaults(fn=cmd_run)
 
     args = ap.parse_args(argv)
+    from zkstark_tpu.parallel.mesh import initialize_distributed
     from zkstark_tpu.runtime import enable_compilation_cache
 
+    # Multi-host bootstrap (SURVEY.md §5 distributed-comms row): a no-op
+    # single-process, joins the coordinator when a cluster env is present.
+    initialize_distributed()
     enable_compilation_cache()
     return args.fn(args)
 

@@ -227,7 +227,7 @@ def device_powers(base: int, n: int) -> jnp.ndarray:
     log-doubling (log2(n) concats of mont_muls) — O(n log n) work but only
     O(log n) dispatches, so it scales to 2^24-point domains where a host-side
     sequential product would serialize."""
-    assert n & (n - 1) == 0
+    assert n >= 1 and n & (n - 1) == 0
     arr = jnp.full((1,), jnp.uint32(R_MOD_P))
     length = 1
     while length < n:
@@ -245,7 +245,7 @@ def powers_iota(base: int, n: int, scale: int = 1) -> jnp.ndarray:
     own block — the scaling prerequisite for 2^24 domain constants; the
     log-doubling concat would replicate or gather). log2(n) selects + mults
     per element, all fused by XLA into one elementwise kernel."""
-    assert n & (n - 1) == 0
+    assert n >= 1 and n & (n - 1) == 0
     bits = max(n.bit_length() - 1, 1)
     j = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
     acc = jnp.full(
@@ -341,7 +341,7 @@ def host_powers_pow2(base: int, n: int, scale: int = 1) -> np.ndarray:
     numpy log-doubling (log2(n) vectorized u64 modmul passes; host_powers'
     per-element Python loop is too slow past ~2^14). All products are
     < 2^32·2^32 so u64 arithmetic is exact."""
-    assert n & (n - 1) == 0
+    assert n >= 1 and n & (n - 1) == 0
     arr = np.array([scale % P], dtype=np.uint64)
     while arr.shape[0] < n:
         step = np.uint64(pow(base, arr.shape[0], P))

@@ -283,10 +283,13 @@ def ntt_fourstep(x, n: int, w: int, inverse_scale: int | None = None):
     effective root. If inverse_scale (Montgomery n^{-1}) is given it is folded
     in, making this a complete INTT.
 
-    Pease path (default): the kernels take natural-order rows and emit
-    bit-reversed rows, so the row bit-reversal gathers move AFTER each kernel
-    (take∘br is an involution un-permuting the output) — same pass count as
-    the DIT path, half the in-kernel multiplies."""
+    Default path: the roll+select DIT kernel (see pease_enabled — the Pease
+    kernel is a measured negative result, opt-in via ZKSTARK_PEASE=on). On
+    the Pease path the kernels take natural-order rows and emit bit-reversed
+    rows, so the row bit-reversal gathers move AFTER each kernel (take∘br is
+    an involution un-permuting the output) — same pass count as the DIT
+    path, half the in-kernel multiplies, but Mosaic lowers its interleave
+    ~2× slower end-to-end (bench: ntt_points_per_sec_2e24)."""
     c = _fourstep_constants(n, w, inverse_scale)
     interp = pallas_interpret()
     if pease_enabled():

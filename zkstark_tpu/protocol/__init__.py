@@ -1,4 +1,4 @@
-from zkstark_tpu.protocol.config import STARK101, STARK101_SECRET, StarkConfig
+from zkstark_tpu.protocol.config import STARK101, STARK101_Q3, STARK101_SECRET, StarkConfig
 from zkstark_tpu.protocol.proof import Proof
 from zkstark_tpu.protocol.prover import ProverArtifacts, prove
 from zkstark_tpu.protocol.verifier import VerificationError, VerifyReport, verify
@@ -6,6 +6,7 @@ from zkstark_tpu.protocol.verifier import VerificationError, VerifyReport, verif
 __all__ = [
     "StarkConfig",
     "STARK101",
+    "STARK101_Q3",
     "STARK101_SECRET",
     "Proof",
     "prove",

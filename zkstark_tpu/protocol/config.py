@@ -79,3 +79,10 @@ class StarkConfig:
 
 STARK101 = StarkConfig()
 STARK101_SECRET = 3141592  # the reference's baked-in witness (prover.rs:34)
+
+# Beyond-reference soundness preset: the same stark-101 statement with THREE
+# FRI queries (the reference draws exactly one, prover.rs:263 — a soundness
+# quirk, SURVEY.md §3.3(b); stark-101 proper uses 3). Shares the reference
+# transcript prefix byte-for-byte through the free term; pinned golden
+# transcript in tests/test_protocol_golden_q3.py.
+STARK101_Q3 = StarkConfig(n_queries=3)

@@ -47,7 +47,18 @@ def _mont_scalar(v: int) -> jnp.ndarray:
 _HOST_CONST_MAX = 1 << 20
 
 
-@functools.lru_cache(maxsize=None)
+def _default_platform() -> str:
+    """Platform of the array-materialization target right now — respects an
+    active jax.default_device(...) scope (the CPU-mesh-next-to-TPU pinning in
+    prove()). Used as a cache key so a process mixing CPU-mesh and TPU proves
+    of the same cfg gets per-platform constants instead of silently reusing
+    whichever placement came first."""
+    d = jax.config.jax_default_device
+    if d is not None:
+        return d.platform
+    return jax.default_backend()
+
+
 def composition_constants(cfg: StarkConfig):
     """Denominators for the pointwise constraint evaluation (device arrays).
 
@@ -60,7 +71,18 @@ def composition_constants(cfg: StarkConfig):
     device builder paying ~15-45 s of trace/MLIR/compile PER constant program
     on the remote-compile backend — the bulk of cold-prove warm-up — for what
     is a handful of exact vectorized modmuls on the host.
+
+    Both paths run under jax.ensure_compile_time_eval(): these builders are
+    normally first called INSIDE a jit trace (_phase2 / fused_core), and the
+    cache must hold concrete arrays, never trace-local tracers — caching a
+    tracer poisons every later different trace with UnexpectedTracerError
+    (the round-3 regression that broke batched + sharded proving).
     """
+    return _composition_constants_cached(cfg, _default_platform())
+
+
+@functools.lru_cache(maxsize=None)
+def _composition_constants_cached(cfg: StarkConfig, platform: str):
     if cfg.eval_domain <= _HOST_CONST_MAX:
         return _composition_constants_host(cfg)
     # jitted: one cached XLA program instead of hundreds of eager dispatches
@@ -103,10 +125,13 @@ def _composition_constants_host(cfg: StarkConfig):
             inv = (den * fp.host_inv_vec(num).astype(np.uint64)) % p64
             inv_dens.append(fp.host_to_mont(inv.astype(np.uint32)))
 
-    return {
-        "xs": jnp.asarray(fp.host_to_mont(xs_std)),
-        "inv_dens": tuple(jnp.asarray(v) for v in inv_dens),
-    }
+    # Concrete device arrays even when called while tracing (see
+    # composition_constants docstring — the cache must never hold tracers).
+    with jax.ensure_compile_time_eval():
+        return {
+            "xs": jnp.asarray(fp.host_to_mont(xs_std)),
+            "inv_dens": tuple(jnp.asarray(v) for v in inv_dens),
+        }
 
 
 def _composition_constants_impl(cfg: StarkConfig):
@@ -114,7 +139,10 @@ def _composition_constants_impl(cfg: StarkConfig):
     g = cfg.trace_generator
     h = cfg.domain_generator
 
-    xs = fp.mont_mul(fp.device_powers(h, d), _mont_scalar(o))  # the coset domain
+    # powers_iota (not device_powers): each element depends only on its own
+    # index, so the coset domain shards cleanly under GSPMD — this path is
+    # exactly the >2^20 domains the sharded 2^24 runs hit.
+    xs = fp.powers_iota(h, d, scale=o)  # the coset domain
     one = jnp.full((d,), jnp.uint32(fp.R_MOD_P))
 
     # One inverse-denominator vector per AIR constraint, in alpha order:
@@ -139,23 +167,30 @@ def _composition_constants_impl(cfg: StarkConfig):
     return {"xs": xs, "inv_dens": tuple(inv_dens)}
 
 
-@functools.lru_cache(maxsize=None)
 def fri_layer_constants(cfg: StarkConfig, layer: int):
     """Inverse first-half domain for the evaluation-form fold at `layer`.
 
     Layer-k domain is {offset^{2^k}·(h^{2^k})^j}; we need 1/x_j for j < m/2
     plus the constant 1/2. Host-numpy below _HOST_CONST_MAX (see
     composition_constants: the per-layer eager-jit builders were the largest
-    single cold-prove warm-up cost on a remote-compile backend)."""
+    single cold-prove warm-up cost on a remote-compile backend). Cached as
+    concrete arrays under ensure_compile_time_eval — never tracers (see
+    composition_constants)."""
+    return _fri_layer_constants_cached(cfg, layer, _default_platform())
+
+
+@functools.lru_cache(maxsize=None)
+def _fri_layer_constants_cached(cfg: StarkConfig, layer: int, platform: str):
     if cfg.eval_domain <= _HOST_CONST_MAX:
         d = cfg.eval_domain >> layer
         base = pow(cfg.domain_generator, 1 << layer, fp.P)
         off = pow(cfg.coset_offset, 1 << layer, fp.P)
         inv_base = pow(base, fp.P - 2, fp.P)
         inv_off = pow(off, fp.P - 2, fp.P)
-        return jnp.asarray(
-            fp.host_to_mont(fp.host_powers_pow2(inv_base, d // 2, scale=inv_off))
-        )
+        with jax.ensure_compile_time_eval():
+            return jnp.asarray(
+                fp.host_to_mont(fp.host_powers_pow2(inv_base, d // 2, scale=inv_off))
+            )
     with jax.ensure_compile_time_eval():
         return jax.jit(_fri_layer_constants_impl, static_argnums=(0, 1))(cfg, layer)
 
@@ -166,8 +201,8 @@ def _fri_layer_constants_impl(cfg: StarkConfig, layer: int):
     off = pow(cfg.coset_offset, 1 << layer, fp.P)
     inv_base = pow(base, fp.P - 2, fp.P)
     inv_off = pow(off, fp.P - 2, fp.P)
-    inv_x = fp.mont_mul(fp.device_powers(inv_base, d // 2), _mont_scalar(inv_off))
-    return inv_x
+    # powers_iota for GSPMD shardability (see _composition_constants_impl).
+    return fp.powers_iota(inv_base, d // 2, scale=inv_off)
 
 
 _INV2 = (fp.P + 1) // 2  # 1/2 in F_p
