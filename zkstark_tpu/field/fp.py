@@ -349,6 +349,34 @@ def host_powers_pow2(base: int, n: int, scale: int = 1) -> np.ndarray:
     return arr.astype(np.uint32)
 
 
+def host_vandermonde(bases: np.ndarray, n: int) -> np.ndarray:
+    """V[i, k] = bases[i]^k mod p for k < n, as uint32 residues — numpy
+    column log-doubling (exact u64 modmuls). The host twin of the device
+    Vandermonde builders; used so twiddle tables are HOST constants that
+    embed at lowering instead of device buffers lowering must fetch."""
+    v = np.ones((bases.shape[0], 1), dtype=np.uint64)
+    bm = bases.astype(np.uint64)
+    p64 = np.uint64(P)
+    while v.shape[1] < n:
+        step = min(v.shape[1], n - v.shape[1])
+        v = np.concatenate([v, (v[:, :step] * bm[:, None]) % p64], axis=1)
+        bm = (bm * bm) % p64
+    return v.astype(np.uint32)
+
+
+def host_pow_vec(bases: np.ndarray, e: int) -> np.ndarray:
+    """bases^e mod p elementwise, exact numpy u64 square-and-multiply."""
+    r = np.ones_like(bases, dtype=np.uint64)
+    b = bases.astype(np.uint64)
+    p64 = np.uint64(P)
+    while e:
+        if e & 1:
+            r = (r * b) % p64
+        b = (b * b) % p64
+        e >>= 1
+    return r.astype(np.uint32)
+
+
 def host_inv_vec(a: np.ndarray) -> np.ndarray:
     """Vectorized exact Fermat inverse of uint32 residues (numpy u64
     square-and-multiply — 32 passes; zero maps to zero like pow())."""

@@ -25,7 +25,6 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,17 +47,22 @@ class NttPlan:
 
     n: int
     root: int  # standard-form n-th root of unity (Python int)
-    bitrev: np.ndarray  # uint32[n] bit-reversal permutation
-    twiddles: tuple  # per-stage uint32 Montgomery twiddle rows, sizes 1,2,4,…,n/2
+    bitrev: np.ndarray  # uint32[n] bit-reversal permutation (HOST numpy)
+    twiddles: tuple  # per-stage uint32 Montgomery twiddle rows (HOST numpy), sizes 1,2,4,…,n/2
     scale_mont: int | None  # Montgomery-form n^{-1} for inverse transforms
 
 
 @functools.lru_cache(maxsize=None)
 def make_plan(n: int, root: int, inverse: bool = False) -> NttPlan:
-    # Constants must materialize eagerly even if first requested inside a jit
-    # trace — caching a tracer would leak it into later traces.
-    with jax.ensure_compile_time_eval():
-        return _make_plan(n, root, inverse)
+    # All plan constants are HOST numpy arrays, never pre-placed device
+    # buffers: a numpy constant closed over by a jitted function is embedded
+    # into the lowered module directly from host memory, while a device
+    # array constant forces a device→host fetch DURING LOWERING — on a
+    # remote-device link (axon tunnel) each such fetch can stall for minutes
+    # (measured: one captured 2 KB device constant = 470 s of lowering).
+    # Numpy is also immune to the tracer-leak failure mode of caching values
+    # built inside a jit trace.
+    return _make_plan(n, root, inverse)
 
 
 def _make_plan(n: int, root: int, inverse: bool) -> NttPlan:
@@ -71,9 +75,7 @@ def _make_plan(n: int, root: int, inverse: bool) -> NttPlan:
     for s in range(1, n.bit_length()):
         half = 1 << (s - 1)
         wm = pow(w, n >> s, fp.P)
-        stages.append(
-            jnp.asarray(fp.host_to_mont(fp.host_powers(wm, half)), dtype=jnp.uint32)
-        )
+        stages.append(fp.host_to_mont(fp.host_powers_pow2(wm, half)))
     scale = None
     if inverse:
         n_inv = pow(n, fp.P - 2, fp.P)
@@ -81,7 +83,7 @@ def _make_plan(n: int, root: int, inverse: bool) -> NttPlan:
     return NttPlan(
         n=n,
         root=root,
-        bitrev=jnp.asarray(bit_reverse_indices(n)),
+        bitrev=bit_reverse_indices(n),
         twiddles=tuple(stages),
         scale_mont=scale,
     )
@@ -153,14 +155,16 @@ def intt(x, plan: NttPlan):
             x, plan.n, _effective_root(plan), inverse_scale=plan.scale_mont
         )
     y = ntt(x, plan)
-    return fp.mont_mul(y, jnp.uint32(plan.scale_mont))
+    return fp.mont_mul(y, np.uint32(plan.scale_mont))
 
 
 @functools.lru_cache(maxsize=None)
-def _offset_powers_mont(n: int, offset: int, invert: bool) -> jnp.ndarray:
-    with jax.ensure_compile_time_eval():
-        o = pow(offset, fp.P - 2, fp.P) if invert else offset % fp.P
-        return jnp.asarray(fp.host_to_mont(fp.host_powers(o, n)), dtype=jnp.uint32)
+def _offset_powers_mont(n: int, offset: int, invert: bool) -> np.ndarray:
+    # host numpy (see make_plan: device constants stall remote lowering);
+    # vectorized log-doubling — the per-element host_powers loop is too slow
+    # past ~2^14
+    o = pow(offset, fp.P - 2, fp.P) if invert else offset % fp.P
+    return fp.host_to_mont(fp.host_powers_pow2(o, n))
 
 
 def coset_ntt(coeffs, n: int, offset: int):
@@ -173,7 +177,12 @@ def coset_ntt(coeffs, n: int, offset: int):
             [coeffs, jnp.zeros(coeffs.shape[:-1] + (n - k,), dtype=jnp.uint32)],
             axis=-1,
         )
-    scaled = fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=False))
+    if n > (1 << 20):
+        # big domains: compute offset^j in-trace (elementwise, GSPMD-shardable)
+        # instead of embedding a multi-MB host table into the module
+        scaled = fp.mont_mul(coeffs, fp.powers_iota(offset, n))
+    else:
+        scaled = fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=False))
     return ntt(scaled, forward_plan(n))
 
 
@@ -181,4 +190,6 @@ def coset_intt(evals, offset: int):
     """Inverse of coset_ntt: recover coefficients from coset evaluations."""
     n = evals.shape[-1]
     coeffs = intt(evals, inverse_plan(n))
+    if n > (1 << 20):
+        return fp.mont_mul(coeffs, fp.powers_iota(pow(offset, fp.P - 2, fp.P), n))
     return fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=True))

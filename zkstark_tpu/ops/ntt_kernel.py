@@ -221,35 +221,41 @@ def _fourstep_constants(n: int, w: int, inverse_scale: int | None) -> FourStepPl
         T[k1, j2] = U[k1, jh] · V[k1, jl],
     U = (w^{128})^{k1·jh} (n1 × n2/128), V = w^{k1·jl} (n1 × 128) — two tiny
     tables and one extra fused mont_mul per element. The INTT 1/n scale folds
-    into U (every element passes through it exactly once)."""
+    into U (every element passes through it exactly once).
+
+    Every table is HOST numpy (exact u64 modmuls): host constants embed into
+    the lowered module directly, where device-array constants would each pay
+    a device→host fetch at lowering — minutes-long stalls on a remote-device
+    (axon) link, formerly the bulk of cold warm-up."""
     bits = n.bit_length() - 1
     b1 = (bits + 1) // 2
     n1, n2 = 1 << b1, 1 << (bits - b1)
     assert n2 >= _VBLK and n1 <= MAX_COLS_SIZE
-    with jax.ensure_compile_time_eval():
-        from zkstark_tpu.ntt.core import bit_reverse_indices
+    from zkstark_tpu.ntt.core import bit_reverse_indices
 
-        w1, w2 = pow(w, n2, fp.P), pow(w, n1, fp.P)
-        tw1 = jnp.asarray(_stage_twiddle_table(n1, w1))
-        tw2 = jnp.asarray(_stage_twiddle_table(n2, w2))
-        twp1 = jnp.asarray(_pease_twiddle_table(n1, w1))
-        twp2 = jnp.asarray(_pease_twiddle_table(n2, w2))
-        br1 = jnp.asarray(bit_reverse_indices(n1))
-        br2 = jnp.asarray(bit_reverse_indices(n2))
-        u, v = jax.jit(_twiddle_uv, static_argnums=(0, 1, 2, 3))(
-            n1, n2, w, inverse_scale
-        )
+    w1, w2 = pow(w, n2, fp.P), pow(w, n1, fp.P)
+    tw1 = _stage_twiddle_table(n1, w1)
+    tw2 = _stage_twiddle_table(n2, w2)
+    twp1 = _pease_twiddle_table(n1, w1)
+    twp2 = _pease_twiddle_table(n2, w2)
+    br1 = bit_reverse_indices(n1)
+    br2 = bit_reverse_indices(n2)
+    u, v = _twiddle_uv_host(n1, n2, w, inverse_scale)
     return FourStepPlan(n1, n2, tw1, tw2, twp1, twp2, br1, br2, u, v)
 
 
-def _twiddle_uv(n1: int, n2: int, w: int, inverse_scale: int | None):
-    rows = fp.device_powers(w, n1)  # w^{k1}
-    v = _vandermonde(rows, _VBLK)  # (n1, 128): w^{k1·jl}
-    rows_blk = fp.pow_static(rows, _VBLK)  # (w^{128})^{k1}
-    u = _vandermonde(rows_blk, n2 // _VBLK)  # (n1, n2/128): w^{128·k1·jh}
+def _twiddle_uv_host(n1: int, n2: int, w: int, inverse_scale: int | None):
+    """U, V as uint32 Montgomery-form numpy. inverse_scale is the Montgomery
+    form of n^{-1}; mont_mul(to_mont(u), to_mont(s)) == to_mont(u·s), so the
+    fold is a plain residue multiply before the final to_mont."""
+    rows = fp.host_powers_pow2(w, n1)  # w^{k1} residues
+    v = fp.host_vandermonde(rows, _VBLK)  # (n1, 128): w^{k1·jl}
+    rows_blk = fp.host_pow_vec(rows, _VBLK)  # (w^{128})^{k1}
+    u = fp.host_vandermonde(rows_blk, n2 // _VBLK).astype(np.uint64)
     if inverse_scale is not None:
-        u = fp.mont_mul(u, jnp.uint32(inverse_scale))
-    return u, v
+        n_inv = pow(n1 * n2, fp.P - 2, fp.P)  # inverse_scale = to_mont(n_inv)
+        u = (u * np.uint64(n_inv)) % np.uint64(fp.P)
+    return fp.host_to_mont(u.astype(np.uint32)), fp.host_to_mont(v)
 
 
 def _apply_twiddle(a, u, v):

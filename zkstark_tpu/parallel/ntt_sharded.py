@@ -36,17 +36,6 @@ from zkstark_tpu.field import fp
 from zkstark_tpu.parallel.mesh import row_sharding, vec_sharding
 
 
-def _vandermonde_mont(bases, n: int):
-    """V[i, k] = bases[i]^k (Montgomery form), built by column log-doubling."""
-    v = jnp.full(bases.shape + (1,), jnp.uint32(fp.R_MOD_P))
-    bm = bases
-    while v.shape[-1] < n:
-        step = min(v.shape[-1], n - v.shape[-1])
-        v = jnp.concatenate([v, fp.mont_mul(v[..., :step], bm[..., None])], axis=-1)
-        bm = fp.mont_mul(bm, bm)
-    return v
-
-
 _UBLK = 128  # inner factor of the twiddle factorization (lane width)
 
 
@@ -60,32 +49,29 @@ def sixstep_constants(n: int, root: int, inverse: bool):
         T[j2, k1] = U[j2, kh] · V[j2, kl],
     U = (ω^{128})^{j2·kh} (n2 × n1/128), V = ω^{j2·kl} (n2 × 128) — two
     row-indexed tables ~1000× smaller, sharding along j2 like the data
-    (the same trick as ops/ntt_kernel.py:120-146)."""
-    with jax.ensure_compile_time_eval():
-        bits = n.bit_length() - 1
-        b1 = (bits + 1) // 2
-        n1, n2 = 1 << b1, 1 << (bits - b1)
-        blk = min(_UBLK, n1)  # tiny transforms: full Vandermonde is fine
-        w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
-        # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
-        inner = ntt.make_plan(n1, pow(w, n2, fp.P))
-        outer = ntt.make_plan(n2, pow(w, n1, fp.P))
+    (the same trick as ops/ntt_kernel.py:120-146).
 
-        def build_uv():
-            rows = fp.powers_iota(w, n2)  # ω^{j2}, elementwise (shardable)
-            v = _vandermonde_mont(rows, blk)  # (n2, blk): ω^{j2·kl}
-            rows_blk = fp.pow_static(rows, blk)  # (ω^{blk})^{j2}
-            u = _vandermonde_mont(rows_blk, n1 // blk)  # (n2, n1/blk)
-            return u, v
+    All tables are HOST numpy (see ntt.make_plan: device-array constants
+    stall remote lowering with per-buffer device→host fetches)."""
+    import numpy as np
 
-        u, v = jax.jit(build_uv)()
-        scale = None
-        if inverse:
-            import numpy as np
-
-            n_inv = pow(n, fp.P - 2, fp.P)
-            scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
-        return n1, n2, inner, outer, u, v, scale
+    bits = n.bit_length() - 1
+    b1 = (bits + 1) // 2
+    n1, n2 = 1 << b1, 1 << (bits - b1)
+    blk = min(_UBLK, n1)  # tiny transforms: full Vandermonde is fine
+    w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
+    # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
+    inner = ntt.make_plan(n1, pow(w, n2, fp.P))
+    outer = ntt.make_plan(n2, pow(w, n1, fp.P))
+    rows = fp.host_powers_pow2(w, n2)  # ω^{j2} residues
+    v = fp.host_to_mont(fp.host_vandermonde(rows, blk))  # (n2, blk)
+    rows_blk = fp.host_pow_vec(rows, blk)  # (ω^{blk})^{j2}
+    u = fp.host_to_mont(fp.host_vandermonde(rows_blk, n1 // blk))  # (n2, n1/blk)
+    scale = None
+    if inverse:
+        n_inv = pow(n, fp.P - 2, fp.P)
+        scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
+    return n1, n2, inner, outer, u, v, scale
 
 
 def _apply_twiddle_rows(a, u, v):

@@ -44,7 +44,6 @@ import functools
 from dataclasses import dataclass
 from typing import Callable
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,7 +95,8 @@ class DeviceOps:
 
     @staticmethod
     def const(v: int):
-        return jnp.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
+        # numpy scalar: a trace-safe literal, not a device constant
+        return np.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
 
 
 class HostOps:
@@ -339,22 +339,20 @@ def _endpoint_basis(n: int):
     """Constants for the missing-point trick at subgroup size n.
 
     v = INTT(e_{n-1}) has v[j] = n^{-1}·g^{-(n-1)j}; we need the full vector
-    (Montgomery form, device) and 1/v[n-1] (to solve for the free trace value).
-    """
-    with jax.ensure_compile_time_eval():
-        return _endpoint_basis_impl(n)
-
-
-def _endpoint_basis_impl(n: int):
+    (Montgomery form) and 1/v[n-1] (to solve for the free trace value).
+    HOST numpy, like every cached protocol constant: embeds at lowering with
+    no device fetch, and can never be a leaked tracer."""
     g = fp.subgroup_generator(n)
     g_inv = pow(g, fp.P - 2, fp.P)
     n_inv = pow(n, fp.P - 2, fp.P)
     base = pow(g_inv, n - 1, fp.P)
-    v = (fp.host_powers(base, n).astype(np.uint64) * n_inv % fp.P).astype(np.uint32)
+    v = (fp.host_powers_pow2(base, n).astype(np.uint64) * n_inv % fp.P).astype(
+        np.uint32
+    )
     v_last_inv = pow(int(v[n - 1]), fp.P - 2, fp.P)
     return (
-        jnp.asarray(fp.host_to_mont(v)),
-        jnp.uint32(fp.host_to_mont(np.array([v_last_inv], dtype=np.uint32))[0]),
+        fp.host_to_mont(v),
+        np.uint32(fp.host_to_mont(np.array([v_last_inv], dtype=np.uint32))[0]),
     )
 
 

@@ -36,8 +36,11 @@ from zkstark_tpu.protocol.proof import Proof
 from zkstark_tpu.transcript import Channel, bincode
 
 
-def _mont_scalar(v: int) -> jnp.ndarray:
-    return jnp.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
+def _mont_scalar(v: int) -> np.uint32:
+    # numpy scalar: embeds as a literal when closed over inside a trace (a
+    # jnp scalar would be a device constant lowering must fetch back — slow
+    # over a remote-device link)
+    return np.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
 
 
 # Domains up to this size get their protocol constants from exact host
@@ -47,53 +50,36 @@ def _mont_scalar(v: int) -> jnp.ndarray:
 _HOST_CONST_MAX = 1 << 20
 
 
-def _default_platform() -> str:
-    """Platform of the array-materialization target right now — respects an
-    active jax.default_device(...) scope (the CPU-mesh-next-to-TPU pinning in
-    prove()). Used as a cache key so a process mixing CPU-mesh and TPU proves
-    of the same cfg gets per-platform constants instead of silently reusing
-    whichever placement came first."""
-    d = jax.config.jax_default_device
-    if d is not None:
-        return d.platform
-    return jax.default_backend()
-
-
 def composition_constants(cfg: StarkConfig):
-    """Denominators for the pointwise constraint evaluation (device arrays).
+    """Denominators for the pointwise constraint evaluation.
 
     The coset offset·⟨h⟩ is disjoint from ⟨h⟩ ⊇ ⟨g⟩ (offset=5 generates all of
     F_p^*), so every denominator is invertible on the evaluation domain and the
     reference's exact polynomial divisions (no remainder, prover.rs:148-151)
     equal these pointwise quotients.
 
-    Host-numpy path for ordinary domains: profiling showed the eager-jitted
-    device builder paying ~15-45 s of trace/MLIR/compile PER constant program
-    on the remote-compile backend — the bulk of cold-prove warm-up — for what
-    is a handful of exact vectorized modmuls on the host.
+    Ordinary domains (≤ 2^20): cached exact HOST NUMPY arrays. Numpy is the
+    load-bearing choice twice over: (a) a numpy constant closed over by a
+    traced function embeds into the lowered module straight from host memory,
+    whereas a cached DEVICE array forces a device→host fetch during lowering
+    — minutes-long stalls on a remote-device (axon) link — and (b) numpy can
+    never be a leaked tracer, the round-3 regression that broke batched and
+    sharded proving in mixed-trace processes.
 
-    Both paths run under jax.ensure_compile_time_eval(): these builders are
-    normally first called INSIDE a jit trace (_phase2 / fused_core), and the
-    cache must hold concrete arrays, never trace-local tracers — caching a
-    tracer poisons every later different trace with UnexpectedTracerError
-    (the round-3 regression that broke batched + sharded proving).
+    Large domains (> 2^20): computed IN-TRACE per program via elementwise
+    powers_iota — no multi-MB constants in the module, and the arrays come
+    up natively sharded under GSPMD (each device builds exactly its block).
     """
-    return _composition_constants_cached(cfg, _default_platform())
+    if cfg.eval_domain <= _HOST_CONST_MAX:
+        return _composition_constants_host(cfg)
+    return _composition_constants_impl(cfg)
 
 
 @functools.lru_cache(maxsize=None)
-def _composition_constants_cached(cfg: StarkConfig, platform: str):
-    if cfg.eval_domain <= _HOST_CONST_MAX:
-        return _composition_constants_host(cfg)
-    # jitted: one cached XLA program instead of hundreds of eager dispatches
-    # (each eager op costs a compile round trip on a remote-compile backend).
-    with jax.ensure_compile_time_eval():
-        return jax.jit(_composition_constants_impl, static_argnums=0)(cfg)
-
-
 def _composition_constants_host(cfg: StarkConfig):
     """Exact numpy twin of _composition_constants_impl (same Montgomery-form
-    uint32 outputs bit-for-bit; u64 modular arithmetic is exact)."""
+    uint32 outputs bit-for-bit; u64 modular arithmetic is exact). Returns
+    HOST numpy arrays — safe to cache (never tracers) and free to embed."""
     n, d, o = cfg.trace_domain, cfg.eval_domain, cfg.coset_offset
     g = cfg.trace_generator
     h = cfg.domain_generator
@@ -125,13 +111,10 @@ def _composition_constants_host(cfg: StarkConfig):
             inv = (den * fp.host_inv_vec(num).astype(np.uint64)) % p64
             inv_dens.append(fp.host_to_mont(inv.astype(np.uint32)))
 
-    # Concrete device arrays even when called while tracing (see
-    # composition_constants docstring — the cache must never hold tracers).
-    with jax.ensure_compile_time_eval():
-        return {
-            "xs": jnp.asarray(fp.host_to_mont(xs_std)),
-            "inv_dens": tuple(jnp.asarray(v) for v in inv_dens),
-        }
+    return {
+        "xs": fp.host_to_mont(xs_std),
+        "inv_dens": tuple(inv_dens),
+    }
 
 
 def _composition_constants_impl(cfg: StarkConfig):
@@ -171,28 +154,22 @@ def fri_layer_constants(cfg: StarkConfig, layer: int):
     """Inverse first-half domain for the evaluation-form fold at `layer`.
 
     Layer-k domain is {offset^{2^k}·(h^{2^k})^j}; we need 1/x_j for j < m/2
-    plus the constant 1/2. Host-numpy below _HOST_CONST_MAX (see
-    composition_constants: the per-layer eager-jit builders were the largest
-    single cold-prove warm-up cost on a remote-compile backend). Cached as
-    concrete arrays under ensure_compile_time_eval — never tracers (see
-    composition_constants)."""
-    return _fri_layer_constants_cached(cfg, layer, _default_platform())
+    plus the constant 1/2. Constant policy mirrors composition_constants:
+    cached HOST NUMPY ≤ 2^20 (free to embed at lowering, never a tracer),
+    in-trace powers_iota above (shardable, no giant module constants)."""
+    if cfg.eval_domain <= _HOST_CONST_MAX:
+        return _fri_layer_constants_host(cfg, layer)
+    return _fri_layer_constants_impl(cfg, layer)
 
 
 @functools.lru_cache(maxsize=None)
-def _fri_layer_constants_cached(cfg: StarkConfig, layer: int, platform: str):
-    if cfg.eval_domain <= _HOST_CONST_MAX:
-        d = cfg.eval_domain >> layer
-        base = pow(cfg.domain_generator, 1 << layer, fp.P)
-        off = pow(cfg.coset_offset, 1 << layer, fp.P)
-        inv_base = pow(base, fp.P - 2, fp.P)
-        inv_off = pow(off, fp.P - 2, fp.P)
-        with jax.ensure_compile_time_eval():
-            return jnp.asarray(
-                fp.host_to_mont(fp.host_powers_pow2(inv_base, d // 2, scale=inv_off))
-            )
-    with jax.ensure_compile_time_eval():
-        return jax.jit(_fri_layer_constants_impl, static_argnums=(0, 1))(cfg, layer)
+def _fri_layer_constants_host(cfg: StarkConfig, layer: int) -> np.ndarray:
+    d = cfg.eval_domain >> layer
+    base = pow(cfg.domain_generator, 1 << layer, fp.P)
+    off = pow(cfg.coset_offset, 1 << layer, fp.P)
+    inv_base = pow(base, fp.P - 2, fp.P)
+    inv_off = pow(off, fp.P - 2, fp.P)
+    return fp.host_to_mont(fp.host_powers_pow2(inv_base, d // 2, scale=inv_off))
 
 
 def _fri_layer_constants_impl(cfg: StarkConfig, layer: int):
@@ -452,6 +429,14 @@ def prove(
     channel = channel or Channel()
     art = artifacts if artifacts is not None else ProverArtifacts()
     clock = _PhaseClock(timings)
+
+    if mesh is None:
+        # overlap the remote tunnel's first-d2h stall with trace/compile
+        # (zkstark_tpu/runtime.py:warm_transfer_path; no-op after the first
+        # call, skipped for explicit meshes whose devices we don't pick)
+        from zkstark_tpu.runtime import warm_transfer_path
+
+        warm_transfer_path()
 
     if mesh is not None and not fused:
         raise ValueError("sharded proving requires the fused path")

@@ -58,6 +58,37 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return None
 
 
+_warm_thread = None
+
+
+def warm_transfer_path() -> None:
+    """Start warming the device→host data path in a daemon thread (idempotent).
+
+    On the axon remote tunnel the FIRST d2h transfer of a process stalls for
+    a long, highly variable time (measured 10 s to 470 s) while every later
+    transfer is instant. The prover can't avoid d2h (roots/challenges must
+    reach the Fiat-Shamir host chain), but the stall clock can start NOW and
+    run concurrently with tracing/lowering/compilation instead of serializing
+    after them. No-op on CPU-default processes (tests)."""
+    global _warm_thread
+    if _warm_thread is not None:
+        return
+    import threading
+
+    def poke():
+        try:
+            import numpy as np
+
+            import jax
+
+            np.asarray(jax.device_put(np.zeros(8, np.uint32)))
+        except Exception:
+            pass  # warming is best-effort; real transfers will just pay
+
+    _warm_thread = threading.Thread(target=poke, daemon=True)
+    _warm_thread.start()
+
+
 def profiler_trace(path: str):
     """Context manager: capture a jax.profiler trace (Perfetto/XProf) to
     `path` (SURVEY.md §5 tracing). Usage:
