@@ -99,3 +99,24 @@ def test_fused_resume_stark101_golden(tmp_path):
     assert resumed.state.hex() == (
         "d7eec91544f72a592145e7d505a2f274de740e0319ede8c983fd84c7736f6712"
     )
+
+
+def test_elastic_rejoin_different_mesh(tmp_path, small_cfg, golden_proof):
+    """Elastic recovery (SURVEY.md §5): a sharded prove that dies at the
+    Fiat-Shamir barrier is resumed WITHOUT its original cluster — the
+    checkpoint holds host arrays keyed by the channel spine, so a different
+    mesh (here: none at all, the two-hosts-died scenario) completes the
+    byte-identical proof."""
+    import jax
+    from jax.sharding import Mesh
+
+    from zkstark_tpu.parallel.mesh import DOMAIN_AXIS
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), (DOMAIN_AXIS,))
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path, mesh=mesh)
+    assert rp.run(stop_after="fused") is None  # "cluster dies" at the barrier
+    # rejoin on a single device: no mesh argument at all
+    resumed = checkpoint.ResumableProver(small_cfg, 3141592, path, fused=True).run()
+    assert resumed.data == golden_proof.data
+    assert resumed.state == golden_proof.state

@@ -107,13 +107,26 @@ def cmd_verify(args) -> int:
 
 def cmd_run(args) -> int:
     """prove + verify + size print — the reference main()'s exact behavior."""
+    import contextlib
+
     from zkstark_tpu.protocol.prover import prove
     from zkstark_tpu.protocol.verifier import verify
 
     cfg = _build_cfg(args, secret=args.secret)
+    if args.profile:
+        # capture the STEADY-STATE program, not the compile: one warm-up
+        # prove outside the trace window
+        prove(cfg, secret=args.secret)
     t0 = time.perf_counter()
     try:
-        proof = prove(cfg, secret=args.secret)
+        if args.profile:
+            from zkstark_tpu.runtime import profiler_trace
+
+            ctx = profiler_trace(args.profile)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            proof = prove(cfg, secret=args.secret)
     except ValueError as e:
         _emit(args, {"error": str(e)})
         return 1
@@ -171,6 +184,13 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("run", help="prove + verify in one process (main.rs:15-36)")
     r.add_argument("--secret", type=int, default=3141592)
+    r.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace (Perfetto/XProf) of one warm "
+        "prove into DIR (SURVEY.md §5 tracing)",
+    )
     r.set_defaults(fn=cmd_run)
 
     args = ap.parse_args(argv)

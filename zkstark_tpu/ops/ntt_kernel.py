@@ -59,8 +59,9 @@ def pease_enabled() -> bool:
     the Montgomery multiplies on paper, but Mosaic lowers its per-stage
     sublane interleave (stack+reshape) catastrophically: >10 min to compile
     at m=4096 and ~2× SLOWER at runtime (measured 2^24: 1.13 G pts/s vs the
-    DIT kernel's 1.7 G). Kept as a measured negative result + CPU-tested
-    reference implementation."""
+    DIT kernel's 1.62 G — BENCH_local_r04.jsonl ntt_points_per_sec_2e24).
+    Kept as a measured negative result + CPU-tested reference
+    implementation."""
     return os.environ.get("ZKSTARK_PEASE", "off") == "on"
 
 

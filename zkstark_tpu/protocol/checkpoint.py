@@ -143,16 +143,23 @@ class ResumableProver:
 
     run(stop_after=...) simulates a crash for tests; a subsequent
     ResumableProver(...).run() picks up from the newest checkpoint and the
-    final proof is byte-identical to an uninterrupted prove()."""
+    final proof is byte-identical to an uninterrupted prove().
+
+    `mesh` (fused path) shards the device program; checkpoints hold HOST
+    arrays keyed by the Fiat-Shamir spine, so they are mesh-independent —
+    the elastic-recovery contract (SURVEY.md §5 failure-detection row): a
+    proof started on one cluster shape can be resumed on a DIFFERENT one
+    (fewer hosts after a failure, or none) and the bytes are identical."""
 
     PHASES = ("phase1", "phase2", "fri", "fused", "done")
 
     def __init__(self, cfg: StarkConfig, secret: int, path: str,
-                 fused: bool = False):
+                 fused: bool = False, mesh=None):
         self.cfg = cfg
         self.secret = secret
         self.path = path
-        self.fused = fused
+        self.fused = fused or mesh is not None
+        self.mesh = mesh
 
     def _save(self, phase: str, channel: Channel, arrays: dict):
         save(self.path, phase, channel, arrays)
@@ -160,12 +167,25 @@ class ResumableProver:
     def _run_fused(self, phase, channel, arrays, stop_after):
         cfg = self.cfg
         if phase == "start":
+            import contextlib
+
             from zkstark_tpu.protocol import fused as fused_mod
 
-            trace_mont = pr._trace_to_device(cfg, self.secret)
-            out = fused_mod.unpack_out(
-                cfg, jax.device_get(fused_mod.fused_core_packed(cfg, trace_mont, None))
+            # same platform pinning as prove(): kernel routing and constant
+            # placement must follow the mesh, not the process default device
+            ctx = (
+                jax.default_device(self.mesh.devices.flat[0])
+                if self.mesh is not None
+                else contextlib.nullcontext()
             )
+            with ctx:
+                trace_mont = pr._trace_to_device(cfg, self.secret)
+                out = fused_mod.unpack_out(
+                    cfg,
+                    jax.device_get(
+                        fused_mod.fused_core_packed(cfg, trace_mont, self.mesh)
+                    ),
+                )
             queries = pr.fused_replay(cfg, channel, out)
             arrays = dict(out)
             arrays["queries_drawn"] = np.asarray(queries, dtype=np.int64)
