@@ -230,6 +230,13 @@ def main():
     ap.add_argument("--all", action="store_true", help="also run kernel sweep")
     ap.add_argument("--quick", action="store_true", help="skip kernel + batch metrics")
     ap.add_argument(
+        "--batch",
+        type=int,
+        default=8,
+        help="batch size for the proofs/sec metric (each size compiles its "
+        "own fused-batch program)",
+    )
+    ap.add_argument(
         "--budget",
         type=float,
         default=float(os.environ.get("ZKSTARK_BENCH_BUDGET", 1200)),
@@ -273,10 +280,10 @@ def main():
                     "vpu_ratio": rec.extra["ntt_vpu_ratio_2e24"],
                 }
             )
-        if not over_budget(args.budget, "proofs_per_sec_b8", rec):
-            pfs = bench_proofs_per_sec(8)
-            rec.update(proofs_per_sec_b8=round(pfs, 3))
-            eprint({"metric": "proofs_per_sec_b8", "value": pfs})
+        if not over_budget(args.budget, f"proofs_per_sec_b{args.batch}", rec):
+            pfs = bench_proofs_per_sec(args.batch)
+            rec.update(**{f"proofs_per_sec_b{args.batch}": round(pfs, 3)})
+            eprint({"metric": f"proofs_per_sec_b{args.batch}", "value": pfs})
 
     if args.all:
         for log_n in (16, 20, 22):

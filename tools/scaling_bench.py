@@ -79,7 +79,11 @@ def main():
         if len(devices) < s:
             print(json.dumps({"skip": s, "reason": "not enough devices"}))
             continue
-        mesh = Mesh(np.array(devices[:s]), (DOMAIN_AXIS,)) if s > 1 else None
+        # a 1-device mesh (not mesh=None) keeps the SAME six-step/sharded
+        # algorithm at every size — the honest scaling baseline, and it
+        # avoids the whole-size radix-2 program whose ~64 MB of embedded
+        # twiddles the CPU compiler chews on for an hour at 2^24
+        mesh = Mesh(np.array(devices[:s]), (DOMAIN_AXIS,))
         fn = jax.jit(proof_core(cfg, mesh=mesh))
         t0 = time.perf_counter()
         out = fn(trace_mont, alphas, betas)

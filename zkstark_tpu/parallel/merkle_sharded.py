@@ -36,11 +36,16 @@ def sharded_build_levels(values, mesh: Mesh):
     num_local_levels = local_n.bit_length()  # local leaf level … local root
     axes = tuple(mesh.axis_names)
 
+    # check_vma=False: the per-shard body routes to Pallas hash kernels on
+    # TPU, and pallas_call outputs carry no varying-mesh-axes annotation —
+    # with the check on, jax rejects the call (the out_specs above already
+    # state exactly how outputs vary).
     local_levels = shard_map(
         lambda v: tuple(merkle.build_levels(v)),
         mesh=mesh,
         in_specs=P(axes),
         out_specs=tuple([P(axes, None)] * num_local_levels),
+        check_vma=False,
     )(values)
 
     levels = list(local_levels)
