@@ -232,7 +232,7 @@ def main():
     ap.add_argument(
         "--batch",
         type=int,
-        default=8,
+        default=32,
         help="batch size for the proofs/sec metric (each size compiles its "
         "own fused-batch program)",
     )
