@@ -214,3 +214,60 @@ def test_serialize_air_layout():
     assert blob[11] == 1
     assert blob[12] == 3
     assert blob[13:16] == [n - 3, n - 2, n - 1]
+
+
+# ---------------------------------------------------------------------------
+# Third AIR: MiMC-style square chain (secret = chain seed, only the output
+# is public; transitions use ops.const → exercises the RPN OP_CONST path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_proof():
+    a = air.SQUARE_CHAIN
+    trace = a.trace(63, 271828)
+    cfg = StarkConfig(
+        trace_len=63,
+        boundary_last=int(trace[-1]),  # boundary_first unused: seed is secret
+        air=a,
+    )
+    return cfg, prove(cfg, 271828)
+
+
+def test_square_chain_trace():
+    tr = air.SQUARE_CHAIN.trace(3, 7)
+    c = air.SQUARE_CHAIN_C
+    assert list(tr) == [7, (49 + c) % fp.P, ((49 + c) ** 2 + c) % fp.P]
+
+
+def test_square_chain_roundtrip_python(chain_proof):
+    cfg, proof = chain_proof
+    verify(proof, cfg)
+
+
+def test_square_chain_roundtrip_native(chain_proof):
+    cfg, proof = chain_proof
+    if zn.native() is None:
+        pytest.skip("native toolchain unavailable")
+    zn.verify_native(proof, cfg)
+
+
+def test_square_chain_const_in_rpn():
+    prog = air.numerator_program(air._square_chain_numerator, (0, 1))
+    assert (air.OP_CONST, air.SQUARE_CHAIN_C) in prog
+
+
+def test_square_chain_two_shift_openings(chain_proof):
+    """shifts (0,1): each query opens 2 trace values + cp (query_range moves
+    accordingly: eval_domain − 1·blowup)."""
+    cfg, proof = chain_proof
+    assert cfg.query_range == cfg.eval_domain - cfg.blowup
+    verify(proof, cfg)
+
+
+def test_square_chain_wrong_witness_rejected():
+    a = air.SQUARE_CHAIN
+    trace = a.trace(63, 271828)
+    cfg = StarkConfig(trace_len=63, boundary_last=int(trace[-1]), air=a)
+    with pytest.raises(ValueError, match="boundary"):
+        prove(cfg, secret=5)

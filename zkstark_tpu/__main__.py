@@ -159,10 +159,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument(
         "--air",
-        choices=["fibonacci-sq", "fibonacci"],
+        choices=["fibonacci-sq", "fibonacci", "square-chain"],
         default=None,
         help="constraint system / witness generator (default fibonacci-sq, "
-        "the reference's statement)",
+        "the reference's statement; square-chain = MiMC-style iterated "
+        "squaring with the secret as the chain seed)",
     )
     ap.add_argument(
         "--boundary-last",

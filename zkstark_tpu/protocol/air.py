@@ -275,10 +275,52 @@ class FibonacciAir(Air):
         )
 
 
+# MiMC-style round constant (any fixed value < p works; pinned for goldens)
+SQUARE_CHAIN_C = 1234567891
+
+
+def _square_chain_numerator(ops, f, x):
+    """f(gx) − f(x)² − C: the iterated-squaring round. Exercises ops.const
+    in a transition (neither Fibonacci AIR does), so the RPN OP_CONST path
+    of the C++ verifier is covered by a real statement."""
+    return ops.sub(ops.sub(f(1), ops.mul(f(0), f(0))), ops.const(SQUARE_CHAIN_C))
+
+
+@dataclass(frozen=True)
+class SquareChainAir(Air):
+    """MiMC/VDF-style chain: knowledge of a[0] with a[i] = a[i-1]² + C and
+    public output a[trace_len−1]. Unlike the Fibonacci AIRs the SECRET is
+    the first trace element, so there is no boundary constraint on step 0 —
+    only the output is pinned. Two shifts, one transition; same degree
+    profile as the reference statement (cp deg ≤ n−2)."""
+
+    shifts = (0, 1)
+    name = "square-chain"
+
+    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+        a = np.empty(trace_len, dtype=np.uint32)
+        cur = secret % fp.P
+        a[0] = cur
+        for i in range(1, trace_len):
+            cur = (cur * cur + SQUARE_CHAIN_C) % fp.P
+            a[i] = cur
+        return a
+
+    def constraints(self, cfg) -> tuple:
+        n = cfg.trace_domain
+        # transition holds at steps 0..trace_len−2 = g^0..g^{n−3}; exempt the
+        # free interpolation endpoint (n−2) and the wrap point (n−1)
+        return (
+            Boundary(cfg.trace_len - 1, cfg.boundary_last),
+            Transition(_square_chain_numerator, (n - 2, n - 1)),
+        )
+
+
 FIBONACCI_SQ = FibonacciSqAir()
 FIBONACCI = FibonacciAir()
+SQUARE_CHAIN = SquareChainAir()
 
-AIRS = {a.name: a for a in (FIBONACCI_SQ, FIBONACCI)}
+AIRS = {a.name: a for a in (FIBONACCI_SQ, FIBONACCI, SQUARE_CHAIN)}
 
 
 # ---------------------------------------------------------------------------
