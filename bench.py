@@ -23,7 +23,7 @@ budget cut costs the least information:
   * merkle_hashes_per_sec_2e20 — 2^20-leaf commitment throughput;
   * ntt_points_per_sec_2e24 + sol/vpu ratios — the 2^24 kernel number,
     timed with a jitted scan loop (device-fenced, dispatch amortized);
-  * proofs_per_sec_b8 — data-parallel batched proving (protocol/batch.py).
+  * proofs_per_sec_b32 — data-parallel batched proving (protocol/batch.py).
 
 Progress/diagnostic lines go to stderr as JSON; --all adds the
 smaller-domain sweep (2^16/2^20/2^22).
@@ -101,6 +101,7 @@ def bench_stark101(repeats: int, rec: Record):
     warmup = time.perf_counter() - t0
     eprint({"phase": "warmup_prove_seconds", "value": warmup})
     assert len(proof.data) == 7836
+    rec.extra.pop("status", None)  # warming is over
     rec.update(warmup_prove_seconds=round(warmup, 3))
 
     # first timed repeat → provisional headline, so a timeout after this
@@ -268,6 +269,9 @@ def main():
     eprint({"phase": "devices", "value": [str(d) for d in jax.devices()]})
 
     rec = Record()
+    # one line before any device work: a driver timeout during warm-up then
+    # records "bench alive, still warming" instead of nothing at all
+    rec.update(status="warming")
     bench_stark101(args.repeats, rec)
 
     if not args.quick:
