@@ -61,7 +61,16 @@ def cmd_prove(args) -> int:
     cfg = _build_cfg(args, secret=args.secret)
     t0 = time.perf_counter()
     try:
-        proof = prove(cfg, secret=args.secret)
+        if args.checkpoint:
+            # resumable: a checkpoint is written at the Fiat-Shamir barrier;
+            # re-running the same command after a crash resumes from it
+            from zkstark_tpu.protocol.checkpoint import ResumableProver
+
+            proof = ResumableProver(
+                cfg, args.secret, args.checkpoint, fused=True
+            ).run()
+        else:
+            proof = prove(cfg, secret=args.secret)
     except ValueError as e:
         _emit(args, {"error": str(e)})
         return 1
@@ -177,6 +186,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("prove", help="generate a proof and write it to a file")
     p.add_argument("--out", default="proof.bin")
     p.add_argument("--secret", type=int, default=3141592)
+    p.add_argument(
+        "--checkpoint",
+        default=None,
+        metavar="FILE",
+        help="write a resumable checkpoint at the Fiat-Shamir barrier; "
+        "re-running after a crash resumes from it (protocol/checkpoint.py)",
+    )
     p.set_defaults(fn=cmd_prove)
 
     v = sub.add_parser("verify", help="verify a proof file")
