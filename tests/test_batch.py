@@ -35,3 +35,20 @@ def test_batch_proofs_verify(small_cfg):
 def test_batch_rejects_bad_witness(small_cfg):
     with pytest.raises(ValueError):
         batch.prove_batch(small_cfg, [3141592, 1234])
+
+
+def test_batch_sharded_over_data_axis(small_cfg):
+    """DP over a mesh: the batch axis sharded across devices via
+    NamedSharding (SURVEY.md §2 DP row) — proofs byte-identical to solo."""
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    solo = prove(small_cfg, fused=False)
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("data",))
+    proofs = batch.prove_batch(small_cfg, [3141592] * 4, mesh=mesh)
+    assert len(proofs) == 4
+    for p in proofs:
+        assert p.data == solo.data
+        assert p.state == solo.state
