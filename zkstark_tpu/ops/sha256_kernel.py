@@ -54,7 +54,12 @@ _H0 = np.array(
     dtype=np.uint32,
 )
 
-_ROWS = 8  # sublane rows per grid step: 8×128 = 1024 hashes per program
+# Sublane rows per grid step: 8×128 = 1024 hashes per program. Measured
+# negative result (r4, 2^20 commit on v5e): ROWS=16/32/64 give only
+# 180/177/183 M hashes/s vs 171.6 at 8 — the serial-round dependency chain
+# is NOT the limiter — while raising MIN_BATCH pushes the stark-101 tree's
+# small levels off the kernel path. 8 stays.
+_ROWS = 8
 
 
 def _rotr(x, r: int):
