@@ -274,6 +274,14 @@ def main():
     rec.update(status="warming")
     bench_stark101(args.repeats, rec)
 
+    # The kernel/batch programs below are one-off giants (2^24 scan,
+    # batch-32 fused); their cache entries are the untested-large case on
+    # the axon tunnel (runtime.enable_compilation_cache history), and
+    # caching them has no cross-process value — compile them cache-off.
+    if cache_dir is not None:
+        jax.config.update("jax_enable_compilation_cache", False)
+        eprint({"phase": "compilation_cache_paused_for_kernels", "value": True})
+
     if not args.quick:
         # ---- BASELINE.json kernel metrics, cheapest first, budget-gated ----
         if not over_budget(args.budget, "merkle_2e20", rec):

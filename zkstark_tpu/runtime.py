@@ -15,38 +15,25 @@ import os
 _DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/zkstark_jax_cache")
 
 
-def _axon_backend() -> bool:
-    """True when JAX runs through the experimental `axon` remote TPU tunnel.
-
-    The axon PJRT plugin reports platform "tpu", so jax.default_backend()
-    can't distinguish it — but the plugin only loads when JAX_PLATFORMS
-    selects it, and its sitecustomize sets that env var."""
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
-        return True
-    try:
-        import jax
-
-        return jax.default_backend() == "axon"
-    except Exception:
-        return True  # can't tell — keep the cache off rather than wedge
-
-
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Turn on JAX's persistent compilation cache (idempotent).
 
-    Returns the cache dir, or None if disabled. On the experimental `axon`
-    remote-compile backend, (de)serializing the large fused-prover
-    executable wedges the tunnel — observed twice: a compile that takes
-    ~200 s cache-off never returns with the cache on, and a second process
-    reading the written entry hangs >12 min with zero progress — so the
-    cache defaults OFF there. Force with ZKSTARK_CACHE_DIR."""
+    Returns the cache dir, or None if disabled (ZKSTARK_NO_CACHE=1).
+
+    History: in rounds ≤3 the cache wedged the axon tunnel — the fused
+    prover executable was huge (its jaxpr→MLIR lowering alone took 777 s)
+    and (de)serializing it never returned. After the round-4 host-numpy
+    constants redesign the same executable serializes at ~9.5 MB and both
+    cache write and read were measured clean (cold prove 68 s writing,
+    42.6 s reading — the read skips the ~39 s remote backend compile), so
+    the cache now defaults ON everywhere. bench.py still switches it off
+    for its one-off giant kernel programs (2^24 NTT scan, batch-32 fused),
+    whose entries are the untested-large case."""
     import jax
 
-    cache_dir = path or os.environ.get("ZKSTARK_CACHE_DIR")
-    if cache_dir is None:
-        if _axon_backend():
-            return None
-        cache_dir = _DEFAULT_CACHE_DIR
+    if os.environ.get("ZKSTARK_NO_CACHE"):
+        return None
+    cache_dir = path or os.environ.get("ZKSTARK_CACHE_DIR") or _DEFAULT_CACHE_DIR
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
