@@ -110,3 +110,16 @@ def test_prove_with_checkpoint_resumes(tmp_path, capsys):
     assert main(args + ["prove", "--secret", "31415", "--out", out2,
                         "--checkpoint", ck]) == 0
     assert open(out1, "rb").read() == open(out2, "rb").read()
+
+
+def test_verify_unreadable_proof_file(tmp_path, capsys):
+    bad = str(tmp_path / "garbage.bin")
+    open(bad, "wb").write(b"nonsense")
+    rc = main(["--json", "--trace-len", "63", "--boundary-last", "1",
+               "verify", bad])
+    assert rc == 1
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["verified"] is False and "unreadable" in rec["error"]
+
+    rc = main(["--json", "verify", str(tmp_path / "missing.bin")])
+    assert rc == 1

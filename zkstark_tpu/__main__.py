@@ -94,8 +94,12 @@ def cmd_verify(args) -> int:
     from zkstark_tpu.protocol.verifier import VerificationError, verify
 
     cfg = _build_cfg(args)
-    with open(args.proof, "rb") as f:
-        proof = Proof.from_bytes(f.read())
+    try:
+        with open(args.proof, "rb") as f:
+            proof = Proof.from_bytes(f.read())
+    except (OSError, ValueError) as e:
+        _emit(args, {"verified": False, "error": f"unreadable proof: {e}"})
+        return 1
     t0 = time.perf_counter()
     try:
         report = verify(proof, cfg)
