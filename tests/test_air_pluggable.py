@@ -271,3 +271,17 @@ def test_square_chain_wrong_witness_rejected():
     cfg = StarkConfig(trace_len=63, boundary_last=int(trace[-1]), air=a)
     with pytest.raises(ValueError, match="boundary"):
         prove(cfg, secret=5)
+
+
+@pytest.mark.parametrize("blowup", [4, 16])
+def test_nondefault_blowup_roundtrip(blowup):
+    """Blowup is a real parameter, not a baked-in 8 (prover.rs:57): the FRI
+    schedule, query range and constants all follow eval_domain."""
+    from zkstark_tpu.protocol.air import fibonacci_sq_trace
+
+    tr = fibonacci_sq_trace(63, 777)
+    cfg = StarkConfig(trace_len=63, blowup=blowup, boundary_last=int(tr[-1]))
+    p = prove(cfg, 777)
+    verify(p, cfg)
+    if zn.native() is not None:
+        zn.verify_native(p, cfg)
