@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zkstark_tpu.field import fp
 from zkstark_tpu.hash import merkle
 from zkstark_tpu.protocol import prover as pr
 from zkstark_tpu.protocol.config import StarkConfig
