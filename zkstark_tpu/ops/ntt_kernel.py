@@ -48,7 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 from zkstark_tpu.field import fp
 from zkstark_tpu.ops import pallas_interpret
 
-MAX_COLS_SIZE = 4096  # (4096, 128) uint32 block = 2 MB — comfortable in VMEM
+# (m, 128) uint32 column block; 8192×128×4B = 4 MB, ~6 live values at the
+# deepest unrolled stage ≈ 24 MB — inside the 96 MB VMEM cap below. The
+# m=8192 kernel is validated bit-exact against the radix-2 path, extending
+# four-step coverage to n = 2^26.
+MAX_COLS_SIZE = 8192
 MIN_FOURSTEP = 1 << 14  # below this both factors can't reach 128 lanes
 
 
