@@ -66,3 +66,61 @@ def test_pad_schedule_constant():
     for t in range(64):
         want = (int(live[t][0, 0]) + int(sha256_kernel._K[t])) & 0xFFFFFFFF
         assert int(sha256_kernel._PAD_WK[t]) == want
+
+
+def test_planar_chain_matches_jnp(monkeypatch):
+    """The planar (8, m, 128) level chain — used for giant levels where the
+    (k,16) layout's 8x tile padding would OOM — must equal the jnp tree
+    bit-for-bit. The Pallas calls are replaced by jnp twins (interpret mode
+    is far too slow for the unrolled kernels); what this pins is the NEW
+    glue: leaf/node plane layouts, the even/odd child slicing of
+    node_planes, and build_levels' planar routing."""
+    from zkstark_tpu.hash import merkle
+
+    def jnp_leaf(flat):
+        # jnp twin of the leaf block (sha256.leaf_hash's fallback path,
+        # which would otherwise route back into the patched kernel)
+        n = flat.shape[0]
+        z = jnp.zeros((n,), dtype=jnp.uint32)
+        block = jnp.stack(
+            [flat, jnp.full((n,), 0x80000000, dtype=jnp.uint32)]
+            + [z] * 13
+            + [jnp.full((n,), 32, dtype=jnp.uint32)],
+            axis=-1,
+        )
+        state = jnp.broadcast_to(jnp.asarray(sha256._H0), (n, 8))
+        return sha256.compress(state, block)
+
+    def fake_leaf_call(vals2d, interpret):
+        return jnp_leaf(vals2d.reshape(-1)).T.reshape(8, -1, 128)
+
+    def fake_node_call(blocks, interpret):
+        left = blocks[:8].reshape(8, -1).T
+        right = blocks[8:].reshape(8, -1).T
+        return sha256.node_hash(left, right).T.reshape(8, -1, 128)
+
+    monkeypatch.setenv("ZKSTARK_PALLAS", "interpret")
+    monkeypatch.setattr(sha256_kernel, "_leaf_call", fake_leaf_call)
+    monkeypatch.setattr(sha256_kernel, "_node_call", fake_node_call)
+    monkeypatch.setattr(merkle, "PLANAR_MIN", 1024)
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(
+        rng.integers(0, 1 << 32, 4096, dtype=np.uint64).astype(np.uint32)
+    )
+    got = merkle.build_levels(vals)
+    monkeypatch.setenv("ZKSTARK_PALLAS", "off")
+    want = merkle.build_levels(vals)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # batched twin: 4 trees of 1024 leaves through the planar chain
+    vals2 = jnp.asarray(
+        rng.integers(0, 1 << 32, (4, 1024), dtype=np.uint64).astype(np.uint32)
+    )
+    monkeypatch.setenv("ZKSTARK_PALLAS", "interpret")
+    got_b = merkle.build_levels_batch(vals2)
+    monkeypatch.setenv("ZKSTARK_PALLAS", "off")
+    want_b = merkle.build_levels_batch(vals2)
+    for g, w in zip(got_b, want_b):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -19,11 +19,24 @@ import numpy as np
 
 from zkstark_tpu.hash import sha256
 
+# Above this many hashes per level, chain in planar (8, m, 128) layout:
+# the row-major pairs path materializes (k, 16) intermediates whose tile
+# padding (16→128 minor) costs 8× HBM — fatal at 2^24+ level sizes,
+# irrelevant below ~2^21 (and the pairs path is ~25% faster there).
+PLANAR_MIN = 1 << 21
+
 
 def build_levels(values):
     """All tree levels bottom-up from (n,) uint32 residues; n a power of two.
 
-    Returns [leaf_hashes (n,8), …, root (1,8)] — still on device."""
+    Returns [leaf_hashes (n,8), …, root (1,8)] — still on device.
+
+    Giant levels (≥ PLANAR_MIN hashes) chain in PLANAR (8, m, 128) layout
+    between hash kernels: a (·, 16) u32 intermediate pays 8-16× T(8,128)
+    tile padding in HBM — the allocation class that OOMed the 2^25-domain
+    proof. Mid-size levels use the row-major pairs path (measured ~25%
+    faster at 2^20, where padding fits trivially); small levels take the
+    jnp kernels."""
     n = values.shape[0]
     assert n & (n - 1) == 0 and n >= 1
     from zkstark_tpu import ops
@@ -32,15 +45,27 @@ def build_levels(values):
     if use_pallas:
         from zkstark_tpu.ops import sha256_kernel
 
-    level = sha256.leaf_hash(values)
+    planes = None
+    if use_pallas and n >= PLANAR_MIN and n % sha256_kernel.MIN_BATCH == 0:
+        planes = sha256_kernel.leaf_planes(values)
+        level = sha256_kernel.planes_to_rowmajor(planes)
+    elif use_pallas and n >= sha256_kernel.MIN_BATCH and n % sha256_kernel.MIN_BATCH == 0:
+        level = sha256_kernel.leaf_hash(values)
+    else:
+        level = sha256.leaf_hash(values)
     levels = [level]
     while level.shape[0] > 1:
         k = level.shape[0] // 2  # number of parent nodes
-        if use_pallas and k >= sha256_kernel.MIN_BATCH and k % sha256_kernel.MIN_BATCH == 0:
+        if planes is not None and k >= PLANAR_MIN:
+            planes = sha256_kernel.node_planes(planes)
+            level = sha256_kernel.planes_to_rowmajor(planes)
+        elif use_pallas and k >= sha256_kernel.MIN_BATCH and k % sha256_kernel.MIN_BATCH == 0:
             # adjacent digest rows of (n, 8) are exactly the left‖right
             # 16-word node message — one reshape, no gathers
+            planes = None
             level = sha256_kernel.node_hash_pairs(level.reshape(k, 16))
         else:
+            planes = None
             level = sha256.node_hash(level[0::2], level[1::2])
         levels.append(level)
     return levels
@@ -60,20 +85,41 @@ def build_levels_batch(values):
     if use_pallas:
         from zkstark_tpu.ops import sha256_kernel
 
-    level = sha256.leaf_hash(values.reshape(bsz * n)).reshape(bsz, n, 8)
+    # The planar chain works on the flattened (bsz·k) hash axis: children
+    # 2j/2j+1 of any parent share a tree (n is even), so even/odd global
+    # index = even/odd in-tree index and pairs never cross trees. Same
+    # PLANAR_MIN hybrid as build_levels.
+    planes = None
+    flat_n = bsz * n
+    if use_pallas and flat_n >= PLANAR_MIN and flat_n % sha256_kernel.MIN_BATCH == 0:
+        planes = sha256_kernel.leaf_planes(values.reshape(flat_n))
+        level = sha256_kernel.planes_to_rowmajor(planes).reshape(bsz, n, 8)
+    elif (
+        use_pallas
+        and flat_n >= sha256_kernel.MIN_BATCH
+        and flat_n % sha256_kernel.MIN_BATCH == 0
+    ):
+        level = sha256_kernel.leaf_hash(values.reshape(flat_n)).reshape(bsz, n, 8)
+    else:
+        level = sha256.leaf_hash(values.reshape(flat_n)).reshape(bsz, n, 8)
     levels = [level]
     while level.shape[1] > 1:
         k = level.shape[1] // 2
-        flat = level.reshape(bsz * k, 16)  # adjacent digests = left‖right
-        if (
+        if planes is not None and bsz * k >= PLANAR_MIN:
+            planes = sha256_kernel.node_planes(planes)
+            level = sha256_kernel.planes_to_rowmajor(planes).reshape(bsz, k, 8)
+        elif (
             use_pallas
             and bsz * k >= sha256_kernel.MIN_BATCH
             and (bsz * k) % sha256_kernel.MIN_BATCH == 0
         ):
-            nodes = sha256_kernel.node_hash_pairs(flat)
+            planes = None
+            flat = level.reshape(bsz * k, 16)  # adjacent digests = left‖right
+            level = sha256_kernel.node_hash_pairs(flat).reshape(bsz, k, 8)
         else:
-            nodes = sha256.node_hash(flat[:, :8], flat[:, 8:])
-        level = nodes.reshape(bsz, k, 8)
+            planes = None
+            flat = level.reshape(bsz * k, 16)
+            level = sha256.node_hash(flat[:, :8], flat[:, 8:]).reshape(bsz, k, 8)
         levels.append(level)
     return levels
 

@@ -196,16 +196,49 @@ def _node_call(blocks, interpret: bool):
 MIN_BATCH = _ROWS * 128  # smallest batch the kernel accepts (one grid step)
 
 
-def leaf_hash(values):
-    """(N,) uint32 → (N, 8) digests; N must be a multiple of MIN_BATCH."""
+def leaf_planes(values):
+    """(N,) uint32 → planar digests (8, N//128, 128); hash h at
+    (row h//128, lane h%128). N must be a multiple of MIN_BATCH."""
     n = values.shape[0]
     assert n % MIN_BATCH == 0, n
-    planes = _leaf_call(values.reshape(n // 128, 128), pallas_interpret())
-    return planes.reshape(8, n).T
+    return _leaf_call(values.reshape(n // 128, 128), pallas_interpret())
+
+
+def node_planes(planes):
+    """Planar digests of one level (8, m, 128) → planar parent digests
+    (8, m//2, 128): parent j = SHA256(child 2j ‖ child 2j+1).
+
+    Stays in planar layout end-to-end. The previous (K, 16) row-major
+    intermediate was a memory catastrophe at scale: u32 arrays with a
+    16-wide minor dim get T(8,128) tile padding — 8-16× HBM expansion,
+    the allocation that OOMed the 2^25-domain proof. Here the even/odd
+    child split is a minor-dim stride-2 slice (one clean copy)."""
+    m = planes.shape[1]
+    n = m * 128
+    k = n // 2
+    assert k % MIN_BATCH == 0, k
+    flat = planes.reshape(8, n)
+    left = flat[:, 0::2].reshape(8, k // 128, 128)
+    right = flat[:, 1::2].reshape(8, k // 128, 128)
+    blocks = jnp.concatenate([left, right], axis=0)  # plane i = message word i
+    return _node_call(blocks, pallas_interpret())
+
+
+def planes_to_rowmajor(planes):
+    """(8, m, 128) planar → (m·128, 8) row-major digest rows."""
+    return planes.reshape(8, -1).T
+
+
+def leaf_hash(values):
+    """(N,) uint32 → (N, 8) digests; N must be a multiple of MIN_BATCH."""
+    return planes_to_rowmajor(leaf_planes(values))
 
 
 def node_hash_pairs(pairs):
-    """(K, 16) uint32 rows = left‖right word blocks → (K, 8) digests."""
+    """(K, 16) uint32 rows = left‖right word blocks → (K, 8) digests.
+
+    Kept for direct callers/tests; build_levels uses the planar chain
+    (leaf_planes/node_planes) to avoid this 16-minor layout entirely."""
     k = pairs.shape[0]
     assert k % MIN_BATCH == 0, k
     planes = _node_call(
