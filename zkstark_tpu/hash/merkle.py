@@ -20,10 +20,22 @@ import numpy as np
 from zkstark_tpu.hash import sha256
 
 # Above this many hashes per level, chain in planar (8, m, 128) layout:
-# the row-major pairs path materializes (k, 16) intermediates whose tile
-# padding (16→128 minor) costs 8× HBM — fatal at 2^24+ level sizes,
-# irrelevant below ~2^21 (and the pairs path is ~25% faster there).
-PLANAR_MIN = 1 << 21
+# the row-major pairs path materializes (k, 16)/(n, 8) intermediates whose
+# tile padding (16→128 minor) costs 8-16× HBM — fatal at 2^25-proof sizes
+# on a 16 GB chip — while the planar path's stride-2 child slices are
+# ~2× slower per level. The default keeps ≤2^24-domain proofs on the fast
+# pairs path (measured: 2^24 proof 1.69 s at threshold 2^24 vs 3.39 s
+# all-planar); proofs at ≥2^25 domains need a LOWER threshold to fit HBM
+# (2^25 proof: OOM at 2^24, 16.99 GB needed; runs at 2^21) — set
+# ZKSTARK_PLANAR_MIN, which tools/prove_big.py does automatically.
+PLANAR_MIN = 1 << 24
+
+
+def _planar_min() -> int:
+    import os
+
+    v = os.environ.get("ZKSTARK_PLANAR_MIN")
+    return int(v) if v else PLANAR_MIN
 
 
 def build_levels(values):
@@ -46,7 +58,8 @@ def build_levels(values):
         from zkstark_tpu.ops import sha256_kernel
 
     planes = None
-    if use_pallas and n >= PLANAR_MIN and n % sha256_kernel.MIN_BATCH == 0:
+    planar_min = _planar_min()
+    if use_pallas and n >= planar_min and n % sha256_kernel.MIN_BATCH == 0:
         planes = sha256_kernel.leaf_planes(values)
         level = sha256_kernel.planes_to_rowmajor(planes)
     elif use_pallas and n >= sha256_kernel.MIN_BATCH and n % sha256_kernel.MIN_BATCH == 0:
@@ -56,7 +69,7 @@ def build_levels(values):
     levels = [level]
     while level.shape[0] > 1:
         k = level.shape[0] // 2  # number of parent nodes
-        if planes is not None and k >= PLANAR_MIN:
+        if planes is not None and k >= planar_min:
             planes = sha256_kernel.node_planes(planes)
             level = sha256_kernel.planes_to_rowmajor(planes)
         elif use_pallas and k >= sha256_kernel.MIN_BATCH and k % sha256_kernel.MIN_BATCH == 0:
@@ -90,8 +103,9 @@ def build_levels_batch(values):
     # index = even/odd in-tree index and pairs never cross trees. Same
     # PLANAR_MIN hybrid as build_levels.
     planes = None
+    planar_min = _planar_min()
     flat_n = bsz * n
-    if use_pallas and flat_n >= PLANAR_MIN and flat_n % sha256_kernel.MIN_BATCH == 0:
+    if use_pallas and flat_n >= planar_min and flat_n % sha256_kernel.MIN_BATCH == 0:
         planes = sha256_kernel.leaf_planes(values.reshape(flat_n))
         level = sha256_kernel.planes_to_rowmajor(planes).reshape(bsz, n, 8)
     elif (
@@ -105,7 +119,7 @@ def build_levels_batch(values):
     levels = [level]
     while level.shape[1] > 1:
         k = level.shape[1] // 2
-        if planes is not None and bsz * k >= PLANAR_MIN:
+        if planes is not None and bsz * k >= planar_min:
             planes = sha256_kernel.node_planes(planes)
             level = sha256_kernel.planes_to_rowmajor(planes).reshape(bsz, k, 8)
         elif (
