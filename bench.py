@@ -19,11 +19,17 @@ kernel metric; skipped metrics are listed in the record's "skipped" field.
 
 Metrics in the default run (BASELINE.json north stars), cheapest-first so a
 budget cut costs the least information:
-  * stark101_prove_latency (+ warmup_prove_seconds, verify_seconds, phases);
+  * stark101_prove_latency (+ warmup_prove_seconds, verify_seconds, phases)
+    and stark101_prove_pipelined_latency (device programs overlapped with
+    host fetch/serialize — prover.prove_pipelined);
   * merkle_hashes_per_sec_2e20 — 2^20-leaf commitment throughput;
   * ntt_points_per_sec_2e24 + sol/vpu ratios — the 2^24 kernel number,
     timed with a jitted scan loop (device-fenced, dispatch amortized);
-  * proofs_per_sec_b32 — data-parallel batched proving (protocol/batch.py).
+  * proofs_per_sec_b32 (one-shot batch) and proofs_per_sec_b64 (pipelined
+    across batches — protocol/batch.prove_batch_pipelined);
+  * ntt_points_per_sec_2e27 — the past-2^26 fast path (MXU matmul columns,
+    ops/mxu_ntt.py; see artifacts/MXU_NTT_r05.md for the ≤2^26 negative
+    result that keeps ZKSTARK_MXU off by default there).
 
 Progress/diagnostic lines go to stderr as JSON; --all adds the
 smaller-domain sweep (2^16/2^20/2^22).
@@ -129,6 +135,21 @@ def bench_stark101(repeats: int, rec: Record):
     timings = {}
     prove(STARK101, STARK101_SECRET, timings=timings)
     rec.update(phases={k: round(v, 5) for k, v in timings.items()})
+
+    # steady-state PIPELINED latency: device programs overlapped with host
+    # fetch/replay (prover.prove_pipelined) — the tunnel-RTT share of the
+    # solo latency hides behind the next proof's device compute
+    from zkstark_tpu.protocol import prove_pipelined
+
+    n_pipe = 12
+    proofs = prove_pipelined(STARK101, [STARK101_SECRET] * 2)  # warm-up
+    assert all(len(p.data) == 7836 for p in proofs)
+    t0 = time.perf_counter()
+    proofs = prove_pipelined(STARK101, [STARK101_SECRET] * n_pipe)
+    per = (time.perf_counter() - t0) / n_pipe
+    assert all(len(p.data) == 7836 for p in proofs)
+    rec.update(stark101_prove_pipelined_latency=round(per, 4))
+    eprint({"metric": "stark101_prove_pipelined_latency", "value": per})
 
 
 def bench_ntt(log_n: int, reps: int = 8) -> float:
@@ -237,6 +258,24 @@ def bench_proofs_per_sec(batch: int = 8, repeats: int = 2) -> float:
     return batch / best
 
 
+def bench_proofs_per_sec_pipelined(batch: int, n_batches: int = 4) -> float:
+    """Batched throughput with host work OVERLAPPED across batches
+    (prove_batch_pipelined) — the production shape: the per-proof replay/
+    serialization that flattened b32→b64 in r4 hides behind the next
+    batch's device program."""
+    from zkstark_tpu.protocol import STARK101, STARK101_SECRET
+    from zkstark_tpu.protocol.batch import prove_batch_pipelined
+
+    batches = [[STARK101_SECRET] * batch] * n_batches
+    proofs = prove_batch_pipelined(STARK101, batches[:2])  # warm
+    assert all(len(p.data) == 7836 for p in proofs)
+    t0 = time.perf_counter()
+    proofs = prove_batch_pipelined(STARK101, batches)
+    dt = time.perf_counter() - t0
+    assert all(len(p.data) == 7836 for p in proofs)
+    return batch * n_batches / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
@@ -308,6 +347,23 @@ def main():
             pfs = bench_proofs_per_sec(args.batch)
             rec.update(**{f"proofs_per_sec_b{args.batch}": round(pfs, 3)})
             eprint({"metric": f"proofs_per_sec_b{args.batch}", "value": pfs})
+        # does batched throughput scale PAST b32? (r4: flat — host ceiling)
+        if args.batch == 32 and not over_budget(
+            args.budget, "proofs_per_sec_b64", rec, reserve=120
+        ):
+            pfs64 = bench_proofs_per_sec_pipelined(64)
+            rec.update(proofs_per_sec_b64=round(pfs64, 3))
+            eprint({"metric": "proofs_per_sec_b64", "value": pfs64,
+                    "note": "pipelined (host work overlapped across batches)"})
+        # the fast path past the old 2^26 Pallas cap (MXU matmul columns)
+        from zkstark_tpu.ops import ntt_kernel as _nk
+
+        if _nk.fourstep_supported(1 << 27) and not over_budget(
+            args.budget, "ntt_2e27", rec, reserve=120
+        ):
+            pps27 = bench_ntt(27, reps=4)
+            rec.update(ntt_points_per_sec_2e27=round(pps27))
+            eprint({"metric": "ntt_points_per_sec_2e27", "value": pps27})
 
     if args.all:
         for log_n in (16, 20, 22):

@@ -130,7 +130,12 @@ static void digest(const uint8_t *data, size_t len, uint8_t out[32]) {
 
 namespace field {
 
-static const uint64_t P = 3221225473ULL;
+// The protocol prime — a RUNTIME parameter (zk_verify) mirroring the
+// reference's Gf<const P: u32> genericity (field.rs:8); defaults to the
+// stark-101 field (main.rs:13). Set once at the top of each zk_verify call
+// (the library is not re-entrant across concurrent verifies with DIFFERENT
+// primes; all other state is per-call).
+static uint64_t P = 3221225473ULL;
 
 static inline uint64_t mulmod(uint64_t a, uint64_t b) { return a * b % P; }
 
@@ -147,6 +152,28 @@ static uint64_t powmod(uint64_t b, uint64_t e) {
 
 static inline uint64_t inv(uint64_t a) { return powmod(a, P - 2); }
 static inline uint64_t sub(uint64_t a, uint64_t b) { return (a + P - b % P) % P; }
+
+// Smallest multiplicative generator of F_P^* by the reference's trial
+// algorithm (field.rs:52-86): unique prime factors q of P-1 via trial
+// division, first x >= 2 with x^((P-1)/q) != 1 for all q.
+static uint64_t find_generator() {
+  uint64_t m = P - 1;
+  uint64_t factors[16];
+  size_t nf = 0;
+  for (uint64_t q = 2; q * q <= m && nf < 16; q += (q == 2 ? 1 : 2)) {
+    if (m % q == 0) {
+      factors[nf++] = q;
+      while (m % q == 0) m /= q;
+    }
+  }
+  if (m > 1 && nf < 16) factors[nf++] = m;
+  for (uint64_t x = 2;; x++) {
+    bool ok = true;
+    for (size_t i = 0; i < nf; i++)
+      if (powmod(x, (P - 1) / factors[i]) == 1) { ok = false; break; }
+    if (ok) return x;
+  }
+}
 
 }  // namespace field
 
@@ -458,9 +485,14 @@ extern "C" {
 // serialize_air() — one constraint definition shared with prover + verifier.
 int zk_verify(const uint8_t *final_state, const uint8_t *data, size_t data_len,
               uint32_t trace_len, uint32_t blowup, uint32_t coset_offset,
-              uint32_t n_queries, const uint32_t *air_blob, size_t air_len,
-              char *err, size_t err_cap) {
+              uint32_t n_queries, uint32_t prime, const uint32_t *air_blob,
+              size_t air_len, char *err, size_t err_cap) {
   using namespace field;
+  if (prime < 3 || (prime & 1) == 0) {
+    seterr(err, err_cap, "bad prime");
+    return 7;
+  }
+  field::P = prime;
   airdesc::Air air;
   if (!airdesc::parse(air_blob, air_len, air)) {
     seterr(err, err_cap, "malformed AIR description");
@@ -526,8 +558,9 @@ int zk_verify(const uint8_t *final_state, const uint8_t *data, size_t data_len,
 
   const size_t n_open = air.n_shifts + 1;  // f(g^k·x) per shift, then cp0(x)
   const uint64_t inv2 = inv(2);
-  const uint64_t g = powmod(5, (P - 1) / n);
-  const uint64_t h = powmod(5, (P - 1) / d);
+  const uint64_t gen = find_generator();  // field.rs:52-86 (5 for stark-101)
+  const uint64_t g = powmod(gen, (P - 1) / n);
+  const uint64_t h = powmod(gen, (P - 1) / d);
 
   for (uint32_t q = 0; q < n_queries; q++) {
     uint32_t trace_vals[airdesc::MAX_SHIFTS + 1];

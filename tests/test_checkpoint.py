@@ -38,6 +38,40 @@ def test_uninterrupted_resumable_matches(tmp_path, small_cfg, golden_proof):
     assert proof.data == golden_proof.data
 
 
+def test_checkpoint_removed_after_success(tmp_path, small_cfg):
+    """A returned proof spends the checkpoint: the file is removed so a later
+    run with a different statement cannot resume stale phase state."""
+    import os
+
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path)
+    rp.run(stop_after="phase2")
+    assert os.path.exists(path)
+    proof = checkpoint.ResumableProver(small_cfg, 3141592, path).run()
+    assert proof is not None
+    assert not os.path.exists(path)
+
+
+def test_checkpoint_bound_to_statement(tmp_path, small_cfg):
+    """Resuming with a different secret or config must refuse (the digest
+    covers integrity, the fingerprint covers identity)."""
+    from zkstark_tpu.protocol.air import fibonacci_sq_trace
+
+    path = str(tmp_path / "ckpt.npz")
+    rp = checkpoint.ResumableProver(small_cfg, 3141592, path)
+    rp.run(stop_after="phase1")
+    # different witness
+    with pytest.raises(checkpoint.CheckpointError, match="DIFFERENT statement"):
+        checkpoint.ResumableProver(small_cfg, 2718281, path).run()
+    # different config (other trace length ⇒ other boundary too)
+    trace = fibonacci_sq_trace(127, 3141592)
+    other = StarkConfig(trace_len=127, blowup=8, boundary_last=int(trace[-1]))
+    with pytest.raises(checkpoint.CheckpointError, match="DIFFERENT statement"):
+        checkpoint.ResumableProver(other, 3141592, path).run()
+    # the original statement still resumes fine
+    assert checkpoint.ResumableProver(small_cfg, 3141592, path).run() is not None
+
+
 @pytest.mark.parametrize("key", ["__data__", "f_eval", "f_res"])
 def test_corrupt_checkpoint_rejected(tmp_path, small_cfg, key):
     """Flipping one byte anywhere — transcript OR a bulk device array — must

@@ -96,8 +96,10 @@ def test_square_chain_air_flag(tmp_path, capsys):
 
 
 def test_prove_with_checkpoint_resumes(tmp_path, capsys):
-    """--checkpoint writes a resumable file; a second identical invocation
-    consumes it (resume path) and produces the same proof bytes."""
+    """--checkpoint proving succeeds and CONSUMES the checkpoint file on
+    success (a stale file must not hijack a later different statement —
+    advisor r4); a second identical invocation re-proves from scratch and
+    yields the same bytes."""
     out1 = str(tmp_path / "p1.bin")
     out2 = str(tmp_path / "p2.bin")
     ck = str(tmp_path / "ck.npz")
@@ -106,7 +108,7 @@ def test_prove_with_checkpoint_resumes(tmp_path, capsys):
                         "--checkpoint", ck]) == 0
     import os
 
-    assert os.path.exists(ck)
+    assert not os.path.exists(ck)  # spent on success
     assert main(args + ["prove", "--secret", "31415", "--out", out2,
                         "--checkpoint", ck]) == 0
     assert open(out1, "rb").read() == open(out2, "rb").read()

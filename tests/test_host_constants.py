@@ -53,7 +53,10 @@ def test_in_trace_constants_prove_identical(monkeypatch):
     cfg = _small_cfg()  # eval domain 512
     golden = prove(cfg, 12345)  # host-constants route
 
-    monkeypatch.setattr(prover, "_HOST_CONST_MAX", 256)
+    # 64 (not 256): fri_layer_constants now keys on the LAYER's own half-size
+    # (a big proof's tiny late layers take the host path), so forcing the
+    # in-trace route for the early layers needs a threshold below 512/2.
+    monkeypatch.setattr(prover, "_HOST_CONST_MAX", 64)
     # drop the cached fused program, else the solo re-prove would reuse the
     # host-constants trace instead of exercising the in-trace builders
     from zkstark_tpu.protocol import fused as fused_mod

@@ -6,6 +6,8 @@ checked end-to-end through the same emulation. Exact field arithmetic means
 equality must hold to the bit.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -36,7 +38,7 @@ def _emulated_fourstep(x, n, w, inverse_scale=None, pease=False):
     c = ntt_kernel._fourstep_constants(n, w, inverse_scale)
     if pease:
         a_br = testing.emulate_kernel(
-            ntt_kernel._ntt_cols_pease_kernel,
+            functools.partial(ntt_kernel._ntt_cols_pease_kernel, fp.FIELD101),
             (c.n1, c.n2),
             jnp.uint32,
             x.reshape(c.n1, c.n2),
@@ -45,17 +47,17 @@ def _emulated_fourstep(x, n, w, inverse_scale=None, pease=False):
         a = jnp.take(a_br, c.br1, axis=0)
         b = ntt_kernel._apply_twiddle(a, c.u, c.v)
         d_br = testing.emulate_kernel(
-            ntt_kernel._ntt_cols_pease_kernel, (c.n2, c.n1), jnp.uint32, b.T, c.twp2
+            functools.partial(ntt_kernel._ntt_cols_pease_kernel, fp.FIELD101), (c.n2, c.n1), jnp.uint32, b.T, c.twp2
         )
         return jnp.take(d_br, c.br2, axis=0).reshape(n)
     xb = jnp.take(x.reshape(c.n1, c.n2), c.br1, axis=0)
     a = testing.emulate_kernel(
-        ntt_kernel._ntt_cols_kernel, (c.n1, c.n2), jnp.uint32, xb, c.tw1
+        functools.partial(ntt_kernel._ntt_cols_kernel, fp.FIELD101), (c.n1, c.n2), jnp.uint32, xb, c.tw1
     )
     b = ntt_kernel._apply_twiddle(a, c.u, c.v)
     bt = jnp.take(b.T, c.br2, axis=0)
     d = testing.emulate_kernel(
-        ntt_kernel._ntt_cols_kernel, (c.n2, c.n1), jnp.uint32, bt, c.tw2
+        functools.partial(ntt_kernel._ntt_cols_kernel, fp.FIELD101), (c.n2, c.n1), jnp.uint32, bt, c.tw2
     )
     return d.reshape(n)
 
@@ -68,7 +70,7 @@ def test_cols_kernel_single_transform():
     tw = jnp.asarray(ntt_kernel._stage_twiddle_table(m, plan.root))
     xb = jnp.take(x, jnp.asarray(ntt_mod.bit_reverse_indices(m)), axis=0)
     got = testing.emulate_kernel(
-        ntt_kernel._ntt_cols_kernel, (m, lanes), jnp.uint32, xb, tw
+        functools.partial(ntt_kernel._ntt_cols_kernel, fp.FIELD101), (m, lanes), jnp.uint32, xb, tw
     )
     want = ntt_mod.ntt(x.T, plan).T  # row transforms of the transpose
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
@@ -81,7 +83,7 @@ def test_pease_cols_kernel_single_transform():
     plan = ntt_mod.forward_plan(m)
     tw = jnp.asarray(ntt_kernel._pease_twiddle_table(m, plan.root))
     got = testing.emulate_kernel(
-        ntt_kernel._ntt_cols_pease_kernel, (m, lanes), jnp.uint32, x, tw
+        functools.partial(ntt_kernel._ntt_cols_pease_kernel, fp.FIELD101), (m, lanes), jnp.uint32, x, tw
     )
     br = jnp.asarray(ntt_mod.bit_reverse_indices(m))
     want = jnp.take(ntt_mod.ntt(x.T, plan).T, br, axis=0)

@@ -69,12 +69,14 @@ def test_pad_schedule_constant():
 
 
 def test_planar_chain_matches_jnp(monkeypatch):
-    """The planar (8, m, 128) level chain — used for giant levels where the
-    (k,16) layout's 8x tile padding would OOM — must equal the jnp tree
-    bit-for-bit. The Pallas calls are replaced by jnp twins (interpret mode
-    is far too slow for the unrolled kernels); what this pins is the NEW
-    glue: leaf/node plane layouts, the even/odd child slicing of
-    node_planes, and build_levels' planar routing."""
+    """The bit-reversed planar (8, m, 128) level chain — used for giant
+    levels where the (k,16) layout's 8x tile padding would OOM — must equal
+    the jnp tree bit-for-bit after normalizing storage order. The Pallas
+    calls are replaced by jnp twins (interpret mode is far too slow for the
+    unrolled kernels); what this pins is the NEW glue: leaf/node plane
+    layouts, the contiguous-halves child split of node_planes_folded, the
+    bitrev leaf permutation, planar_to_natural, and build_levels' planar
+    routing."""
     from zkstark_tpu.hash import merkle
 
     def jnp_leaf(flat):
@@ -103,6 +105,7 @@ def test_planar_chain_matches_jnp(monkeypatch):
     monkeypatch.setattr(sha256_kernel, "_leaf_call", fake_leaf_call)
     monkeypatch.setattr(sha256_kernel, "_node_call", fake_node_call)
     monkeypatch.setattr(merkle, "PLANAR_MIN", 1024)
+    monkeypatch.setattr(merkle, "PLANAR_STOP", 1024)
     rng = np.random.default_rng(7)
     vals = jnp.asarray(
         rng.integers(0, 1 << 32, 4096, dtype=np.uint64).astype(np.uint32)
@@ -111,7 +114,10 @@ def test_planar_chain_matches_jnp(monkeypatch):
     monkeypatch.setenv("ZKSTARK_PALLAS", "off")
     want = merkle.build_levels(vals)
     assert len(got) == len(want)
+    assert merkle.is_planar(got[0]) and not merkle.is_planar(want[0])
     for g, w in zip(got, want):
+        if merkle.is_planar(g):
+            g = merkle.planar_to_natural(g)
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
     # batched twin: 4 trees of 1024 leaves through the planar chain
@@ -124,3 +130,71 @@ def test_planar_chain_matches_jnp(monkeypatch):
     want_b = merkle.build_levels_batch(vals2)
     for g, w in zip(got_b, want_b):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def _patch_planar(monkeypatch, planar_min):
+    """Route build_levels' planar chain through jnp kernel twins on CPU."""
+    from zkstark_tpu.hash import merkle
+
+    def jnp_leaf(flat):
+        n = flat.shape[0]
+        z = jnp.zeros((n,), dtype=jnp.uint32)
+        block = jnp.stack(
+            [flat, jnp.full((n,), 0x80000000, dtype=jnp.uint32)]
+            + [z] * 13
+            + [jnp.full((n,), 32, dtype=jnp.uint32)],
+            axis=-1,
+        )
+        state = jnp.broadcast_to(jnp.asarray(sha256._H0), (n, 8))
+        return sha256.compress(state, block)
+
+    monkeypatch.setenv("ZKSTARK_PALLAS", "interpret")
+    monkeypatch.setattr(
+        sha256_kernel,
+        "_leaf_call",
+        lambda v, i: jnp_leaf(v.reshape(-1)).T.reshape(8, -1, 128),
+    )
+
+    def fake_node_call(blocks, interpret):
+        left = blocks[:8].reshape(8, -1).T
+        right = blocks[8:].reshape(8, -1).T
+        return sha256.node_hash(left, right).T.reshape(8, -1, 128)
+
+    monkeypatch.setattr(sha256_kernel, "_node_call", fake_node_call)
+    monkeypatch.setattr(merkle, "PLANAR_MIN", planar_min)
+    monkeypatch.setattr(merkle, "PLANAR_STOP", planar_min)
+    monkeypatch.setattr(merkle, "PLANAR_DOMAIN_MIN", 1)  # force planar proofs
+
+
+def test_planar_prove_golden_end_to_end(monkeypatch):
+    """Full stark-101 prove with the bit-reversed planar storage FORCED down
+    to 2048-hash levels: the fused device gathers (sparse openings over
+    planar levels) and the host MerkleTree accessors must still produce the
+    byte-exact golden transcript — the planar layout changes storage order
+    only, never the tree."""
+    from zkstark_tpu.protocol import fused as fused_mod
+    from zkstark_tpu.protocol import prover as pr
+    from zkstark_tpu.protocol.config import STARK101, STARK101_SECRET
+    from zkstark_tpu.protocol.prover import prove
+
+    def clear():
+        fused_mod.fused_core_packed.clear_cache()
+        fused_mod.fused_core.clear_cache()
+        pr._phase1.clear_cache()
+        pr._phase2.clear_cache()
+        pr._fri_fold.clear_cache()
+
+    _patch_planar(monkeypatch, 2048)
+    clear()
+    try:
+        proof = prove(STARK101, STARK101_SECRET)
+        assert len(proof.data) == 7836
+        assert proof.state.hex() == (
+            "d7eec91544f72a592145e7d505a2f274de740e0319ede8c983fd84c7736f6712"
+        )
+        # legacy host-synced path exercises MerkleTree.auth_path over
+        # host-fetched planar levels
+        legacy = prove(STARK101, STARK101_SECRET, fused=False)
+        assert legacy.data == proof.data
+    finally:
+        clear()

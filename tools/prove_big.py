@@ -26,11 +26,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
-    if args.trace_bits + 3 >= 25:
-        # ≥2^25 eval domains only fit one chip's HBM with the all-planar
-        # Merkle chain (hash/merkle.py PLANAR_MIN rationale)
-        os.environ.setdefault("ZKSTARK_PLANAR_MIN", str(1 << 21))
-
+    # No layout knobs needed: merkle.build_levels picks the bit-reversed
+    # planar layout per level automatically (hash/merkle.py PLANAR_MIN),
+    # so ≥2^25 eval domains fit one chip's HBM via plain prove().
     from zkstark_tpu.runtime import warm_transfer_path
 
     warm_transfer_path()

@@ -21,6 +21,7 @@ import time
 
 
 def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
+    from zkstark_tpu.field.fp import field_for
     from zkstark_tpu.protocol.air import AIRS
     from zkstark_tpu.protocol.config import StarkConfig
 
@@ -31,6 +32,8 @@ def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
         kw["blowup"] = args.blowup
     if args.queries is not None:
         kw["n_queries"] = args.queries
+    if getattr(args, "prime", None) is not None:
+        kw["field"] = field_for(args.prime)
     air_obj = AIRS[args.air] if args.air is not None else None
     if air_obj is not None:
         kw["air"] = air_obj
@@ -43,7 +46,9 @@ def _build_cfg(args, secret: int | None = None) -> "StarkConfig":
         # input; prove prints it).
         trace_len = kw.get("trace_len", StarkConfig.trace_len)
         air = air_obj if air_obj is not None else StarkConfig.air
-        kw["boundary_last"] = int(air.trace(trace_len, secret)[-1])
+        p = kw["field"].p if "field" in kw else None
+        trace = air.trace(trace_len, secret, p) if p else air.trace(trace_len, secret)
+        kw["boundary_last"] = int(trace[-1])
     return StarkConfig(**kw)
 
 
@@ -177,6 +182,14 @@ def main(argv=None) -> int:
         help="constraint system / witness generator (default fibonacci-sq, "
         "the reference's statement; square-chain = MiMC-style iterated "
         "squaring with the secret as the chain seed)",
+    )
+    ap.add_argument(
+        "--prime",
+        type=int,
+        default=None,
+        help="protocol field prime (default 3221225473 = 3*2^30+1, the "
+        "reference's Gf<3221225473>; any odd prime < 2^32 with enough "
+        "2-adicity for the domain works, e.g. 2013265921 = 15*2^27+1)",
     )
     ap.add_argument(
         "--boundary-last",

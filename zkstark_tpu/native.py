@@ -53,6 +53,7 @@ def native():
         ctypes.c_uint32,  # blowup
         ctypes.c_uint32,  # coset_offset
         ctypes.c_uint32,  # n_queries
+        ctypes.c_uint32,  # prime (the protocol field, cfg.field.p)
         ctypes.POINTER(ctypes.c_uint32),  # AIR description blob
         ctypes.c_size_t,  # blob length (u32 words)
         ctypes.c_char_p,  # err buf
@@ -98,6 +99,7 @@ def verify_native(proof, cfg) -> None:
         cfg.blowup,
         cfg.coset_offset,
         cfg.n_queries,
+        cfg.field.p,
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         len(blob),
         err,

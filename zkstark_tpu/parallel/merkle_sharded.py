@@ -40,8 +40,11 @@ def sharded_build_levels(values, mesh: Mesh):
     # TPU, and pallas_call outputs carry no varying-mesh-axes annotation —
     # with the check on, jax rejects the call (the out_specs above already
     # state exactly how outputs vary).
+    # planar=False: out_specs below are declared per level as row-major
+    # arrays; per-shard levels are 1/S the size, so the planar HBM guard is
+    # far less pressing here (revisit if giant per-shard levels appear)
     local_levels = shard_map(
-        lambda v: tuple(merkle.build_levels(v)),
+        lambda v: tuple(merkle.build_levels(v, planar=False)),
         mesh=mesh,
         in_specs=P(axes),
         out_specs=tuple([P(axes, None)] * num_local_levels),

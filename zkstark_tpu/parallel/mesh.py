@@ -45,10 +45,15 @@ def initialize_distributed(
     With no arguments, reads the cluster environment (TPU metadata / SLURM /
     JAX_COORDINATOR_ADDRESS…) exactly as JAX does natively; single-process
     runs (no coordinator anywhere) are left untouched. Returns the process
-    count. Call before any other JAX API on every host of a slice."""
+    count. Call before any other JAX API on every host of a slice.
+
+    Ordering is load-bearing: the cluster-env check must happen BEFORE any
+    call that initializes the XLA backends (`jax.process_count()` does!),
+    because `jax.distributed.initialize` raises if a backend already exists.
+    A cluster host whose env is set but whose backends are already up gets a
+    clear error instead of the cryptic late RuntimeError."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count()
     import os
 
@@ -56,7 +61,28 @@ def initialize_distributed(
         os.environ.get(k)
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
     )
+    try:  # user (or a prior entry point) already ran jax.distributed.initialize
+        from jax._src import distributed as _jd
+
+        if getattr(_jd.global_state, "client", None) is not None:
+            _initialized = True
+            return jax.process_count()
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
+        pass
     if coordinator_address or num_processes or has_cluster_env:
+        try:
+            from jax._src import xla_bridge
+
+            backends_up = xla_bridge.backends_are_initialized()
+        except (ImportError, AttributeError):  # pragma: no cover - jax internals
+            backends_up = False
+        if backends_up:
+            raise RuntimeError(
+                "initialize_distributed: a cluster environment is set "
+                "(JAX_COORDINATOR_ADDRESS) but the XLA backends are already "
+                "initialized — call initialize_distributed() before any other "
+                "JAX API (jax.devices, jax.process_count, any jit)"
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -33,6 +33,7 @@ from jax.sharding import Mesh
 
 from zkstark_tpu import ntt
 from zkstark_tpu.field import fp
+from zkstark_tpu.field.fp import FIELD101, Field
 from zkstark_tpu.parallel.mesh import row_sharding, vec_sharding
 
 
@@ -40,7 +41,7 @@ _UBLK = 128  # inner factor of the twiddle factorization (lane width)
 
 
 @functools.lru_cache(maxsize=None)
-def sixstep_constants(n: int, root: int, inverse: bool):
+def sixstep_constants(n: int, root: int, inverse: bool, field: Field = FIELD101):
     """Plans + factored twiddles for n = n1·n2 (balanced split, n1 ≥ n2).
 
     The step-3 twiddle matrix T[j2, k1] = ω^{j2·k1} is NOT materialized —
@@ -59,28 +60,31 @@ def sixstep_constants(n: int, root: int, inverse: bool):
     b1 = (bits + 1) // 2
     n1, n2 = 1 << b1, 1 << (bits - b1)
     blk = min(_UBLK, n1)  # tiny transforms: full Vandermonde is fine
-    w = pow(root, fp.P - 2, fp.P) if inverse else root % fp.P
+    p = field.p
+    w = pow(root, p - 2, p) if inverse else root % p
     # row plans use ω^{n2} (order n1) and ω^{n1} (order n2)
-    inner = ntt.make_plan(n1, pow(w, n2, fp.P))
-    outer = ntt.make_plan(n2, pow(w, n1, fp.P))
-    rows = fp.host_powers_pow2(w, n2)  # ω^{j2} residues
-    v = fp.host_to_mont(fp.host_vandermonde(rows, blk))  # (n2, blk)
-    rows_blk = fp.host_pow_vec(rows, blk)  # (ω^{blk})^{j2}
-    u = fp.host_to_mont(fp.host_vandermonde(rows_blk, n1 // blk))  # (n2, n1/blk)
+    inner = ntt.make_plan(n1, pow(w, n2, p), field=field)
+    outer = ntt.make_plan(n2, pow(w, n1, p), field=field)
+    rows = field.host_powers_pow2(w, n2)  # ω^{j2} residues
+    v = field.host_to_mont(field.host_vandermonde(rows, blk))  # (n2, blk)
+    rows_blk = field.host_pow_vec(rows, blk)  # (ω^{blk})^{j2}
+    u = field.host_to_mont(
+        field.host_vandermonde(rows_blk, n1 // blk)
+    )  # (n2, n1/blk)
     scale = None
     if inverse:
-        n_inv = pow(n, fp.P - 2, fp.P)
-        scale = int(fp.host_to_mont(np.array([n_inv], np.uint32))[0])
+        n_inv = pow(n, p - 2, p)
+        scale = int(field.host_to_mont(np.array([n_inv], np.uint32))[0])
     return n1, n2, inner, outer, u, v, scale
 
 
-def _apply_twiddle_rows(a, u, v):
+def _apply_twiddle_rows(a, u, v, field: Field = FIELD101):
     """a[j2, k1] · ω^{j2·k1} via the U·V factorization (fused elementwise).
     a is (n2, n1); row axis may be sharded — u, v are row-indexed too."""
     n2, n1 = a.shape
     blk = v.shape[-1]
     a3 = a.reshape(n2, n1 // blk, blk)
-    a3 = fp.mont_mul(fp.mont_mul(a3, u[:, :, None]), v[:, None, :])
+    a3 = fp.mont_mul_f(field, fp.mont_mul_f(field, a3, u[:, :, None]), v[:, None, :])
     return a3.reshape(n2, n1)
 
 
@@ -90,10 +94,11 @@ def ntt_sixstep(
     root: int,
     mesh: Mesh | None = None,
     inverse: bool = False,
+    field: Field = FIELD101,
 ):
     """Size-n transform of a flat Montgomery vector, natural order in/out,
     bit-identical to ntt.ntt / ntt.intt, sharded over `mesh` when given."""
-    n1, n2, inner, outer, u, v, scale = sixstep_constants(n, root, inverse)
+    n1, n2, inner, outer, u, v, scale = sixstep_constants(n, root, inverse, field)
 
     def constrain(arr, ndim):
         if mesh is not None:
@@ -105,17 +110,19 @@ def ntt_sixstep(
     xm = constrain(x.reshape(n1, n2), 2)
     xt = constrain(xm.T, 2)  # all_to_all
     a = ntt.ntt(xt, inner)  # local row NTTs (n2 rows of length n1)
-    a = _apply_twiddle_rows(a, u, v)
+    a = _apply_twiddle_rows(a, u, v, field)
     b = constrain(a.T, 2)  # all_to_all
     c = ntt.ntt(b, outer)  # local row NTTs (n1 rows of length n2)
     out = constrain(c.T, 2).reshape(n)  # final transpose → natural order
     out = constrain(out, 1)
     if inverse:
-        out = fp.mont_mul(out, jnp.uint32(scale))
+        out = fp.mont_mul_f(field, out, jnp.uint32(scale))
     return out
 
 
-def coset_ntt_sixstep(coeffs, n: int, offset: int, mesh: Mesh | None = None):
+def coset_ntt_sixstep(
+    coeffs, n: int, offset: int, mesh: Mesh | None = None, field: Field = FIELD101
+):
     """Sharded equivalent of ntt.coset_ntt (LDE onto offset·⟨h⟩)."""
     k = coeffs.shape[-1]
     if k < n:
@@ -124,5 +131,7 @@ def coset_ntt_sixstep(coeffs, n: int, offset: int, mesh: Mesh | None = None):
         )
     # powers_iota: elementwise offset^j — shards with the coeff vector
     # (device_powers' concat chain would force a replicated 4n-byte constant)
-    scaled = fp.mont_mul(coeffs, fp.powers_iota(offset, n))
-    return ntt_sixstep(scaled, n, fp.subgroup_generator(n), mesh=mesh)
+    scaled = fp.mont_mul_f(field, coeffs, fp.powers_iota_f(field, offset, n))
+    return ntt_sixstep(
+        scaled, n, field.subgroup_generator(n), mesh=mesh, field=field
+    )

@@ -35,7 +35,8 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
     Outputs: all Merkle roots (as (8,) uint32 digests), the final FRI layer,
     and the free term — everything the transcript needs from the device.
     """
-    inv2 = pr._mont_scalar(pr._INV2)
+    fld = cfg.field
+    inv2 = pr._mont_scalar((fld.p + 1) // 2, fld)
     layer_inv_x = [
         pr.fri_layer_constants(cfg, layer) for layer in range(cfg.fri_rounds)
     ]
@@ -53,20 +54,20 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
 
     def fn(trace_mont, alphas_mont, betas_mont):
         # Phase 1
-        coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain)
+        coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain, fld)
         if shard_ok:
             f_eval = coset_ntt_sixstep(
-                coeffs, cfg.eval_domain, cfg.coset_offset, mesh=mesh
+                coeffs, cfg.eval_domain, cfg.coset_offset, mesh=mesh, field=fld
             )
         else:
-            f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset)
-        f_res = fp.from_mont(f_eval)
+            f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset, fld)
+        f_res = fp.from_mont_f(fld, f_eval)
         f_levels = build_levels(f_res)
 
         # Phase 2: one source of truth for the composition math
         cp = constrain(pr.composition_eval(cfg, f_eval, alphas_mont))
         roots = [f_levels[-1][0]]
-        layer_res = [fp.from_mont(cp)]
+        layer_res = [fp.from_mont_f(fld, cp)]
         levels = build_levels(layer_res[0])
         roots.append(levels[-1][0])
 
@@ -79,8 +80,9 @@ def proof_core(cfg: StarkConfig, mesh: Mesh | None = None):
                 layer_inv_x[layer],
                 inv2,
                 mesh=mesh if shard_ok and evals.shape[0] // 2 >= mesh_size(mesh) else None,
+                field=fld,
             )
-            res = fp.from_mont(evals)
+            res = fp.from_mont_f(fld, evals)
             layer_res.append(res)
             levels = build_levels(res)
             roots.append(levels[-1][0])

@@ -1,6 +1,6 @@
 from zkstark_tpu.protocol.config import STARK101, STARK101_Q3, STARK101_SECRET, StarkConfig
 from zkstark_tpu.protocol.proof import Proof
-from zkstark_tpu.protocol.prover import ProverArtifacts, prove
+from zkstark_tpu.protocol.prover import ProverArtifacts, prove, prove_pipelined
 from zkstark_tpu.protocol.verifier import VerificationError, VerifyReport, verify
 
 __all__ = [
@@ -10,6 +10,7 @@ __all__ = [
     "STARK101_SECRET",
     "Proof",
     "prove",
+    "prove_pipelined",
     "ProverArtifacts",
     "verify",
     "VerificationError",

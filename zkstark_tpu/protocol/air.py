@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zkstark_tpu.field import fp
+from zkstark_tpu.field.fp import FIELD101, Field
 from zkstark_tpu import ntt
 
 
@@ -86,37 +87,53 @@ class Transition:
 # ---------------------------------------------------------------------------
 
 
-class DeviceOps:
-    """Vectorized Montgomery-form uint32 arrays (the prover's coset)."""
+class _DeviceOps:
+    """Vectorized Montgomery-form uint32 arrays (the prover's coset),
+    bound to one Field descriptor."""
 
-    mul = staticmethod(fp.mont_mul)
-    add = staticmethod(fp.add)
-    sub = staticmethod(fp.sub)
+    def __init__(self, field: Field):
+        self.field = field
+        self.mul = functools.partial(fp.mont_mul_f, field)
+        self.add = functools.partial(fp.add_f, field)
+        self.sub = functools.partial(fp.sub_f, field)
 
-    @staticmethod
-    def const(v: int):
+    def const(self, v: int):
         # numpy scalar: a trace-safe literal, not a device constant
-        return np.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
+        return self.field.mont_scalar(v)
 
 
-class HostOps:
+class _HostOps:
     """Exact Python ints mod p (the verifier's point checks)."""
 
-    @staticmethod
-    def mul(a, b):
-        return a * b % fp.P
+    def __init__(self, p: int):
+        self.p = p
 
-    @staticmethod
-    def add(a, b):
-        return (a + b) % fp.P
+    def mul(self, a, b):
+        return a * b % self.p
 
-    @staticmethod
-    def sub(a, b):
-        return (a - b) % fp.P
+    def add(self, a, b):
+        return (a + b) % self.p
 
-    @staticmethod
-    def const(v: int):
-        return v % fp.P
+    def sub(self, a, b):
+        return (a - b) % self.p
+
+    def const(self, v: int):
+        return v % self.p
+
+
+@functools.lru_cache(maxsize=None)
+def device_ops(field: Field = FIELD101) -> _DeviceOps:
+    return _DeviceOps(field)
+
+
+@functools.lru_cache(maxsize=None)
+def host_ops(p: int = fp.P) -> _HostOps:
+    return _HostOps(p)
+
+
+# default-field namespaces (backwards-compatible names)
+DeviceOps = device_ops(FIELD101)
+HostOps = host_ops(fp.P)
 
 
 # RPN opcodes shared with native/zkstark_native.cpp (keep in sync)
@@ -138,6 +155,9 @@ class RecorderOps:
     """Records the numerator as an expression tree → RPN program for the
     native C++ verifier (one more consumer of the same definition)."""
 
+    def __init__(self, p: int = fp.P):
+        self.p = p
+
     @staticmethod
     def mul(a, b):
         return _Node(OP_MUL, children=(a, b))
@@ -150,15 +170,14 @@ class RecorderOps:
     def sub(a, b):
         return _Node(OP_SUB, children=(a, b))
 
-    @staticmethod
-    def const(v: int):
-        return _Node(OP_CONST, v % fp.P)
+    def const(self, v: int):
+        return _Node(OP_CONST, v % self.p)
 
 
-def numerator_program(numerator: Callable, shifts: tuple) -> list:
+def numerator_program(numerator: Callable, shifts: tuple, p: int = fp.P) -> list:
     """[(op, arg), …] RPN encoding of a transition numerator."""
     root = numerator(
-        RecorderOps,
+        RecorderOps(p),
         lambda k: _Node(OP_F, shifts.index(k)),
         _Node(OP_X),
     )
@@ -194,22 +213,24 @@ class Air:
     def max_shift(self) -> int:
         return max(self.shifts)
 
-    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+    def trace(self, trace_len: int, secret: int, p: int = fp.P) -> np.ndarray:
         raise NotImplementedError
 
     def constraints(self, cfg) -> tuple:
         raise NotImplementedError
 
 
-def fibonacci_sq_trace(length: int = 1023, secret: int = 3141592) -> np.ndarray:
+def fibonacci_sq_trace(
+    length: int = 1023, secret: int = 3141592, p: int = fp.P
+) -> np.ndarray:
     """a[0]=1, a[1]=secret, a[i]=a[i-2]²+a[i-1]² over F_p (prover.rs:32-39)."""
     a = np.empty(length, dtype=np.uint32)
-    prev2, prev1 = 1, secret % fp.P
+    prev2, prev1 = 1, secret % p
     a[0] = prev2
     if length > 1:
         a[1] = prev1
     for i in range(2, length):
-        cur = (prev2 * prev2 + prev1 * prev1) % fp.P
+        cur = (prev2 * prev2 + prev1 * prev1) % p
         a[i] = cur
         prev2, prev1 = prev1, cur
     return a
@@ -229,8 +250,8 @@ class FibonacciSqAir(Air):
     shifts = (0, 1, 2)
     name = "fibonacci-sq"
 
-    def trace(self, trace_len: int, secret: int) -> np.ndarray:
-        return fibonacci_sq_trace(trace_len, secret)
+    def trace(self, trace_len: int, secret: int, p: int = fp.P) -> np.ndarray:
+        return fibonacci_sq_trace(trace_len, secret, p)
 
     def constraints(self, cfg) -> tuple:
         n = cfg.trace_domain
@@ -254,14 +275,14 @@ class FibonacciAir(Air):
     shifts = (0, 1, 2)
     name = "fibonacci"
 
-    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+    def trace(self, trace_len: int, secret: int, p: int = fp.P) -> np.ndarray:
         a = np.empty(trace_len, dtype=np.uint32)
-        prev2, prev1 = 1, secret % fp.P
+        prev2, prev1 = 1, secret % p
         a[0] = prev2
         if trace_len > 1:
             a[1] = prev1
         for i in range(2, trace_len):
-            cur = (prev2 + prev1) % fp.P
+            cur = (prev2 + prev1) % p
             a[i] = cur
             prev2, prev1 = prev1, cur
         return a
@@ -297,12 +318,12 @@ class SquareChainAir(Air):
     shifts = (0, 1)
     name = "square-chain"
 
-    def trace(self, trace_len: int, secret: int) -> np.ndarray:
+    def trace(self, trace_len: int, secret: int, p: int = fp.P) -> np.ndarray:
         a = np.empty(trace_len, dtype=np.uint32)
-        cur = secret % fp.P
+        cur = secret % p
         a[0] = cur
         for i in range(1, trace_len):
-            cur = (cur * cur + SQUARE_CHAIN_C) % fp.P
+            cur = (cur * cur + SQUARE_CHAIN_C) % p
             a[i] = cur
         return a
 
@@ -331,7 +352,7 @@ AIRS = {a.name: a for a in (FIBONACCI_SQ, FIBONACCI, SQUARE_CHAIN)}
 def composition_at_point(cfg, x: int, f_vals: dict, alphas: list) -> int:
     """Σ αᵢ·cᵢ(x) with exact ints — the verifier's composition check value
     (proof.rs:63-77 generalised). f_vals maps shift k → opened f(g^k·x)."""
-    p = fp.P
+    p = cfg.field.p
     g = cfg.trace_generator
     n = cfg.trace_domain
     inv = lambda a: pow(a % p, p - 2, p)
@@ -341,7 +362,7 @@ def composition_at_point(cfg, x: int, f_vals: dict, alphas: list) -> int:
             num = (f_vals[0] - con.value) % p
             den = (x - pow(g, con.step, p)) % p
         else:
-            num = con.numerator(HostOps, lambda k: f_vals[k] % p, x % p)
+            num = con.numerator(host_ops(p), lambda k: f_vals[k] % p, x % p)
             z = (pow(x, n, p) - 1) % p
             for e in con.exempt:
                 z = z * inv(x - pow(g, e, p)) % p
@@ -362,9 +383,9 @@ def serialize_air(cfg) -> np.ndarray:
     words = [len(shifts), *shifts, len(cfg.constraints)]
     for con in cfg.constraints:
         if isinstance(con, Boundary):
-            words += [0, con.step, con.value % fp.P]
+            words += [0, con.step, con.value % cfg.field.p]
         else:
-            prog = numerator_program(con.numerator, shifts)
+            prog = numerator_program(con.numerator, shifts, cfg.field.p)
             words += [1, len(con.exempt), *con.exempt, len(prog)]
             for op, arg in prog:
                 words += [op, arg]
@@ -377,28 +398,29 @@ def serialize_air(cfg) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _endpoint_basis(n: int):
+def _endpoint_basis(n: int, field: Field = FIELD101):
     """Constants for the missing-point trick at subgroup size n.
 
     v = INTT(e_{n-1}) has v[j] = n^{-1}·g^{-(n-1)j}; we need the full vector
     (Montgomery form) and 1/v[n-1] (to solve for the free trace value).
     HOST numpy, like every cached protocol constant: embeds at lowering with
     no device fetch, and can never be a leaked tracer."""
-    g = fp.subgroup_generator(n)
-    g_inv = pow(g, fp.P - 2, fp.P)
-    n_inv = pow(n, fp.P - 2, fp.P)
-    base = pow(g_inv, n - 1, fp.P)
-    v = (fp.host_powers_pow2(base, n).astype(np.uint64) * n_inv % fp.P).astype(
+    p = field.p
+    g = field.subgroup_generator(n)
+    g_inv = pow(g, p - 2, p)
+    n_inv = pow(n, p - 2, p)
+    base = pow(g_inv, n - 1, p)
+    v = (field.host_powers_pow2(base, n).astype(np.uint64) * n_inv % p).astype(
         np.uint32
     )
-    v_last_inv = pow(int(v[n - 1]), fp.P - 2, fp.P)
+    v_last_inv = pow(int(v[n - 1]), p - 2, p)
     return (
-        fp.host_to_mont(v),
-        np.uint32(fp.host_to_mont(np.array([v_last_inv], dtype=np.uint32))[0]),
+        field.host_to_mont(v),
+        np.uint32(field.host_to_mont(np.array([v_last_inv], dtype=np.uint32))[0]),
     )
 
 
-def interpolate_trace(trace_mont, n: int):
+def interpolate_trace(trace_mont, n: int, field: Field = FIELD101):
     """Coefficients (Montgomery form, natural order, degree ≤ n−2) of the unique
     poly through (g^i, trace[i]) for i < n−1 — the reference's lagrange()
     output (prover.rs:60-61) computed as one INTT + rank-1 correction.
@@ -409,10 +431,10 @@ def interpolate_trace(trace_mont, n: int):
         [trace_mont, jnp.zeros(trace_mont.shape[:-1] + (1,), dtype=jnp.uint32)],
         axis=-1,
     )
-    c0 = ntt.intt(padded, ntt.inverse_plan(n))
-    v, v_last_inv = _endpoint_basis(n)
+    c0 = ntt.intt(padded, ntt.inverse_plan(n, field))
+    v, v_last_inv = _endpoint_basis(n, field)
     # choose the free endpoint a_{n-1} so that coefficient n−1 vanishes:
     #   c0[n−1] + a_{n-1}·v[n−1] = 0
-    a_last = fp.mont_mul(fp.neg(c0[..., n - 1 : n]), v_last_inv)
-    coeffs = fp.add(c0, fp.mont_mul(v, a_last))
+    a_last = fp.mont_mul_f(field, fp.neg_f(field, c0[..., n - 1 : n]), v_last_inv)
+    coeffs = fp.add_f(field, c0, fp.mont_mul_f(field, v, a_last))
     return coeffs

@@ -41,9 +41,9 @@ def fused_core_batch(cfg: StarkConfig, traces_mont):
     leading B axis, B channel chains evolve in lockstep."""
     bsz = traces_mont.shape[0]
 
-    coeffs = air.interpolate_trace(traces_mont, cfg.trace_domain)
-    f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset)
-    f_res = fp.from_mont(f_eval)
+    coeffs = air.interpolate_trace(traces_mont, cfg.trace_domain, cfg.field)
+    f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset, cfg.field)
+    f_res = fp.from_mont_f(cfg.field, f_eval)
     f_levels = merkle.build_levels_batch(f_res)
 
     state = dc.zero_state((bsz,))
@@ -54,9 +54,11 @@ def fused_core_batch(cfg: StarkConfig, traces_mont):
     for _ in range(cfg.n_constraints):
         a, state = dc.draw_u32(state)
         alphas.append(a)
-    alphas_mont = jnp.stack([dc.draw_to_mont(a) for a in alphas], axis=-1)  # (B,3)
+    alphas_mont = jnp.stack(
+        [dc.draw_to_mont(a, cfg.field) for a in alphas], axis=-1
+    )  # (B, n_constraints)
     cp = pr.composition_eval(cfg, f_eval, alphas_mont)
-    cp_res = fp.from_mont(cp)
+    cp_res = fp.from_mont_f(cfg.field, cp)
     cp_levels = merkle.build_levels_batch(cp_res)
     state = dc.absorb_hash(state, cp_levels[-1][:, 0])
     roots.append(cp_levels[-1][:, 0])
@@ -72,7 +74,7 @@ def fused_core_batch(cfg: StarkConfig, traces_mont):
             cfg,
             layer,
             evals,
-            dc.draw_to_mont(b)[:, None],
+            dc.draw_to_mont(b, cfg.field)[:, None],
             build=merkle.build_levels_batch,
         )
         layer_res.append(res)
@@ -114,27 +116,62 @@ def _batch_out_spec(cfg: StarkConfig, bsz: int):
     )
 
 
-def prove_batch(
-    cfg: StarkConfig, secrets, mesh=None, data_axis: str = "data"
-) -> list[Proof]:
-    """Prove B witnesses; returns B proofs, each byte-identical to a solo
-    prove() of the same secret. With a mesh, the batch axis is sharded over
-    `data_axis` — pure DP, no cross-device communication."""
-    traces = np.stack([cfg.air.trace(cfg.trace_len, s) for s in secrets])
+def _dispatch_batch(cfg: StarkConfig, secrets, mesh=None, data_axis: str = "data"):
+    """Witness-check + upload + enqueue ONE fused batch program (async)."""
+    traces = np.stack(
+        [cfg.air.trace(cfg.trace_len, s, cfg.field.p) for s in secrets]
+    )
     for i, s in enumerate(secrets):
         if int(traces[i, -1]) != cfg.boundary_last:
             raise ValueError(f"witness {i} (secret {s}) fails the public boundary")
-    traces_mont = jnp.asarray(fp.host_to_mont(traces))
+    traces_mont = jnp.asarray(cfg.field.host_to_mont(traces))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         traces_mont = jax.device_put(
             traces_mont, NamedSharding(mesh, PartitionSpec(data_axis, None))
         )
-    # one packed transfer instead of ~30 per-buffer round trips (fused.pack_tree)
+    return _fused_core_batch_packed(cfg, traces_mont)
+
+
+def prove_batch(
+    cfg: StarkConfig, secrets, mesh=None, data_axis: str = "data"
+) -> list[Proof]:
+    """Prove B witnesses; returns B proofs, each byte-identical to a solo
+    prove() of the same secret. With a mesh, the batch axis is sharded over
+    `data_axis` — pure DP, no cross-device communication."""
+    out_dev = _dispatch_batch(cfg, secrets, mesh, data_axis)
+    return _finish_batch(cfg, secrets, out_dev)
+
+
+def prove_batch_pipelined(
+    cfg: StarkConfig, secret_batches, depth: int = 2
+) -> list[Proof]:
+    """Stream of batches with up to `depth` device programs in flight: the
+    B-proof host work (per-proof channel replay + decommit serialization —
+    the r4 host ceiling that flattened proofs/sec past B=32) overlaps the
+    NEXT batch's device compute instead of serializing after it. Bytes are
+    identical to prove_batch / solo prove (tested)."""
+    from collections import deque
+
+    pending = deque()
+    proofs = []
+    for secrets in secret_batches:
+        pending.append((list(secrets), _dispatch_batch(cfg, secrets)))
+        if len(pending) > depth:
+            s_, o_ = pending.popleft()
+            proofs.extend(_finish_batch(cfg, s_, o_))
+    while pending:
+        s_, o_ = pending.popleft()
+        proofs.extend(_finish_batch(cfg, s_, o_))
+    return proofs
+
+
+def _finish_batch(cfg: StarkConfig, secrets, out_dev) -> list[Proof]:
+    """Fetch one batch result (one packed transfer instead of ~30 per-buffer
+    round trips) and run the per-proof host replay + decommit serialization."""
     out = fused.unpack_tree(
-        jax.device_get(_fused_core_batch_packed(cfg, traces_mont)),
-        _batch_out_spec(cfg, len(secrets)),
+        jax.device_get(out_dev), _batch_out_spec(cfg, len(secrets))
     )
 
     proofs = []

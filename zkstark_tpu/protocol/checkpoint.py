@@ -69,10 +69,27 @@ def _unflatten(flat: dict) -> dict:
     return out
 
 
-def _digest(phase: str, state: bytes, data: bytes, flat: dict) -> bytes:
-    """SHA-256 over phase + channel state + transcript + every array's key,
-    shape, dtype and raw bytes — the whole checkpoint, not just the spine."""
+def statement_fingerprint(cfg: StarkConfig, secret: int) -> bytes:
+    """Binds a checkpoint to its statement: config fields (the frozen
+    dataclass repr is canonical — AIR objects are frozen/fieldless) + a
+    commitment to the witness. The integrity digest covers bytes, not
+    identity; without this, resuming `prove --checkpoint f` with a different
+    --secret/--trace-len/--air would silently emit a proof for the OLD
+    statement."""
     h = hashlib.sha256()
+    h.update(b"zkstark-checkpoint-v1|")
+    h.update(repr(cfg).encode())
+    h.update(b"|")
+    h.update(str(int(secret)).encode())
+    return h.digest()
+
+
+def _digest(phase: str, state: bytes, data: bytes, flat: dict, fp: bytes) -> bytes:
+    """SHA-256 over fingerprint + phase + channel state + transcript + every
+    array's key, shape, dtype and raw bytes — the whole checkpoint, not just
+    the spine."""
+    h = hashlib.sha256()
+    h.update(fp)
     h.update(phase.encode())
     h.update(state)
     h.update(data)
@@ -85,13 +102,16 @@ def _digest(phase: str, state: bytes, data: bytes, flat: dict) -> bytes:
     return h.digest()
 
 
-def save(path: str, phase: str, channel: Channel, arrays: dict) -> None:
+def save(
+    path: str, phase: str, channel: Channel, arrays: dict, fingerprint: bytes = b""
+) -> None:
     flat = _flatten(arrays)
     state, data = channel.state, bytes(channel.data)
-    check = _digest(phase, state, data, flat)
+    check = _digest(phase, state, data, flat, fingerprint)
     flat["__phase__"] = np.frombuffer(phase.encode(), dtype=np.uint8)
     flat["__state__"] = np.frombuffer(state, dtype=np.uint8)
     flat["__data__"] = np.frombuffer(data, dtype=np.uint8)
+    flat["__fp__"] = np.frombuffer(fingerprint, dtype=np.uint8)
     flat["__check__"] = np.frombuffer(check, dtype=np.uint8)
     # Atomic: a crash mid-save must not truncate the only checkpoint.
     fd, tmp = tempfile.mkstemp(
@@ -107,22 +127,31 @@ def save(path: str, phase: str, channel: Channel, arrays: dict) -> None:
         raise
 
 
-def load(path: str):
+def load(path: str, fingerprint: bytes | None = None):
     """→ (phase, channel, arrays); raises CheckpointError if the file is
-    unreadable or any stored byte (spine or arrays) fails the digest."""
+    unreadable, any stored byte (spine or arrays) fails the digest, or —
+    when `fingerprint` is given — the checkpoint was created for a different
+    (config, witness) statement."""
     try:
         with np.load(path) as z:
             flat = {k: z[k] for k in z.files}
         phase = flat.pop("__phase__").tobytes().decode()
         state = flat.pop("__state__").tobytes()
         data = flat.pop("__data__").tobytes()
+        stored_fp = flat.pop("__fp__").tobytes()
         check = flat.pop("__check__").tobytes()
     except CheckpointError:
         raise
     except Exception as e:  # truncated zip, missing keys, bad encode…
         raise CheckpointError(f"unreadable checkpoint {path!r}: {e}") from e
-    if _digest(phase, state, data, flat) != check:
+    if _digest(phase, state, data, flat, stored_fp) != check:
         raise CheckpointError("checkpoint integrity check failed")
+    if fingerprint is not None and stored_fp != fingerprint:
+        raise CheckpointError(
+            f"checkpoint {path!r} was created for a DIFFERENT statement "
+            "(config or witness changed since it was written) — refusing to "
+            "resume; delete the file to start over"
+        )
     ch = Channel()
     ch.state = state
     ch.data = bytearray(data)
@@ -161,7 +190,22 @@ class ResumableProver:
         self.mesh = mesh
 
     def _save(self, phase: str, channel: Channel, arrays: dict):
-        save(self.path, phase, channel, arrays)
+        save(
+            self.path,
+            phase,
+            channel,
+            arrays,
+            statement_fingerprint(self.cfg, self.secret),
+        )
+
+    def _finish(self, proof: Proof) -> Proof:
+        """A returned proof means the checkpoint is spent: remove it so a
+        later run with a different statement can't resume stale state."""
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+        return proof
 
     def _run_fused(self, phase, channel, arrays, stop_after):
         cfg = self.cfg
@@ -207,12 +251,15 @@ class ResumableProver:
 
         cfg = self.cfg
         if os.path.exists(self.path):
-            phase, channel, arrays = load(self.path)
+            phase, channel, arrays = load(
+                self.path, statement_fingerprint(cfg, self.secret)
+            )
         else:
             phase, channel, arrays = "start", Channel(), {}
 
         if self.fused or phase == "fused":
-            return self._run_fused(phase, channel, arrays, stop_after)
+            out = self._run_fused(phase, channel, arrays, stop_after)
+            return self._finish(out) if out is not None else None
 
         if phase == "start":
             trace_mont = pr._trace_to_device(cfg, self.secret)
@@ -291,6 +338,6 @@ class ResumableProver:
                 queries,
             )
             state, data = channel.finalize()
-            return Proof(state=state, data=data)
+            return self._finish(Proof(state=state, data=data))
 
         raise CheckpointError(f"unknown checkpoint phase {phase!r}")

@@ -15,9 +15,10 @@ sharding.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field as dc_field
 
 from zkstark_tpu.field import fp
+from zkstark_tpu.field.fp import FIELD101, FIELD_ALT, Field
 from zkstark_tpu.protocol.air import FIBONACCI_SQ, Air
 
 
@@ -29,13 +30,28 @@ class StarkConfig:
     boundary_first: int = 1  # public input a[0] (proof.rs:69)
     boundary_last: int = 2338775057  # public output a[trace_len−1] (proof.rs:70)
     n_queries: int = 1  # FRI query count (reference draws exactly 1, prover.rs:263)
-    air: Air = field(default=FIBONACCI_SQ)  # the constraint system + witness gen
+    air: Air = dc_field(default=FIBONACCI_SQ)  # the constraint system + witness gen
+    # The protocol prime, as a first-class config axis — the reference is
+    # generic over `Gf<const P: u32>` (field.rs:8, main.rs:13) and its tests
+    # instantiate other primes (field.rs:213-226). Any odd p < 2^32 with
+    # enough 2-adicity for the domain works end-to-end.
+    field: Field = dc_field(default=FIELD101)
 
     def __post_init__(self):
         n = self.trace_domain
+        p = self.field.p
         assert n & (n - 1) == 0, "trace domain must be a power of two"
         assert self.blowup & (self.blowup - 1) == 0, "blowup must be a power of two"
-        assert (fp.P - 1) % self.eval_domain == 0, "domain too large for field"
+        assert (p - 1) % self.eval_domain == 0, (
+            f"domain {self.eval_domain} too large for field: needs 2-adicity "
+            f"{self.eval_domain.bit_length() - 1}, p-1 has {self.field.two_adicity}"
+        )
+        # the coset offset·⟨h⟩ must be disjoint from ⟨h⟩ (else the vanishing
+        # denominators hit zero on the evaluation domain)
+        assert pow(self.coset_offset, self.eval_domain, p) != 1, (
+            "coset offset lies in the evaluation subgroup"
+        )
+        assert 0 <= self.boundary_first < p and 0 <= self.boundary_last < p
         assert self.n_queries >= 1
 
     @property
@@ -70,11 +86,11 @@ class StarkConfig:
 
     @property
     def trace_generator(self) -> int:
-        return fp.subgroup_generator(self.trace_domain)
+        return self.field.subgroup_generator(self.trace_domain)
 
     @property
     def domain_generator(self) -> int:
-        return fp.subgroup_generator(self.eval_domain)
+        return self.field.subgroup_generator(self.eval_domain)
 
 
 STARK101 = StarkConfig()
@@ -86,3 +102,19 @@ STARK101_SECRET = 3141592  # the reference's baked-in witness (prover.rs:34)
 # transcript prefix byte-for-byte through the free term; pinned golden
 # transcript in tests/test_protocol_golden_q3.py.
 STARK101_Q3 = StarkConfig(n_queries=3)
+
+
+def alt_field_config(
+    trace_len: int = 1023, secret: int = 3141592, **kw
+) -> "StarkConfig":
+    """The stark-101 statement instantiated over the SECOND prime
+    (p = 15·2^27 + 1): the end-to-end witness that the framework is generic
+    over P like the reference's Gf<const P>. The boundary output is derived
+    from the witness (it differs per field — the recurrence wraps mod p)."""
+    trace = FIBONACCI_SQ.trace(trace_len, secret, FIELD_ALT.p)
+    return StarkConfig(
+        trace_len=trace_len,
+        boundary_last=int(trace[-1]),
+        field=FIELD_ALT,
+        **kw,
+    )

@@ -67,7 +67,8 @@ def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
 
         def lde(coeffs):
             return coset_ntt_sixstep(
-                coeffs, cfg.eval_domain, cfg.coset_offset, mesh=mesh
+                coeffs, cfg.eval_domain, cfg.coset_offset, mesh=mesh,
+                field=cfg.field,
             )
 
         def fold(layer, evals, beta_mont):
@@ -75,26 +76,35 @@ def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
                 evals,
                 beta_mont,
                 pr.fri_layer_constants(cfg, layer),
-                pr._mont_scalar(pr._INV2),
+                pr._mont_scalar((cfg.field.p + 1) // 2, cfg.field),
                 mesh=mesh if evals.shape[0] // 2 >= n_shards else None,
+                field=cfg.field,
             )
-            res = fp.from_mont(folded)
+            res = fp.from_mont_f(cfg.field, folded)
             return folded, res, build_levels(res)
 
     else:
-        build_levels = merkle.build_levels
+        # planar storage only when the PROGRAM needs it for capacity
+        # (hash/merkle.py threshold notes): 2^25-domain proofs hold ~23
+        # trees at once and must keep their ≥2^24-leaf trees planar;
+        # smaller proofs stay on the faster all-pairs layout.
+        build_levels = functools.partial(
+            merkle.build_levels, planar=merkle.planar_for_domain(cfg.eval_domain)
+        )
         constrain = lambda arr: arr  # noqa: E731
 
         def lde(coeffs):
-            return ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset)
+            return ntt.coset_ntt(
+                coeffs, cfg.eval_domain, cfg.coset_offset, cfg.field
+            )
 
         def fold(layer, evals, beta_mont):
             return pr.fri_fold_eval(cfg, layer, evals, beta_mont)
 
     # ---- Phase 1: interpolate + LDE + commit (prover.rs:24-85) ----
-    coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain)
+    coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain, cfg.field)
     f_eval = lde(coeffs)
-    f_res = fp.from_mont(f_eval)
+    f_res = fp.from_mont_f(cfg.field, f_eval)
     f_levels = build_levels(f_res)
 
     state = dc.zero_state()
@@ -106,9 +116,9 @@ def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
     for _ in range(cfg.n_constraints):
         a, state = dc.draw_u32(state)
         alphas.append(a)
-    alphas_mont = jnp.stack([dc.draw_to_mont(a) for a in alphas])
+    alphas_mont = jnp.stack([dc.draw_to_mont(a, cfg.field) for a in alphas])
     cp = constrain(pr.composition_eval(cfg, f_eval, alphas_mont))
-    cp_res = fp.from_mont(cp)
+    cp_res = fp.from_mont_f(cfg.field, cp)
     cp_levels = build_levels(cp_res)
     state = dc.absorb_hash(state, cp_levels[-1][0])
     roots.append(cp_levels[-1][0])
@@ -121,7 +131,7 @@ def fused_core(cfg: StarkConfig, trace_mont, mesh=None):
     for layer in range(cfg.fri_rounds):
         b, state = dc.draw_u32(state)
         betas.append(b)
-        evals, res, levels = fold(layer, evals, dc.draw_to_mont(b))
+        evals, res, levels = fold(layer, evals, dc.draw_to_mont(b, cfg.field))
         layer_res.append(res)
         layer_levels.append(levels)
         state = dc.absorb_hash(state, levels[-1][0])
@@ -176,8 +186,18 @@ def unpack_tree(flat, shapes):
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def fused_core_packed(cfg: StarkConfig, trace_mont, mesh=None):
-    """fused_core with the whole output packed into one flat uint32 vector."""
-    return pack_tree(fused_core(cfg, trace_mont, mesh))
+    """fused_core with the whole output packed into one flat uint32 vector.
+
+    With a mesh the packed vector is constrained REPLICATED so that every
+    process of a multi-host mesh holds the full few-KB result and the host
+    replay (fused_replay) can run identically everywhere — the multi-process
+    contract: same transcript bytes on every host."""
+    flat = pack_tree(fused_core(cfg, trace_mont, mesh))
+    if mesh is not None:
+        from zkstark_tpu.parallel.mesh import replicated
+
+        flat = jax.lax.with_sharding_constraint(flat, replicated(mesh))
+    return flat
 
 
 @functools.lru_cache(maxsize=None)
@@ -207,8 +227,26 @@ def _take_val(arr, idx):
     return jnp.take_along_axis(arr, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
 
+def _traced_bitrev(idx, bits: int):
+    """Bit-reverse a traced uint32 index in `bits` bits (elementwise)."""
+    r = jnp.zeros_like(idx)
+    for b in range(bits):
+        r = r | (((idx >> b) & jnp.uint32(1)) << (bits - 1 - b))
+    return r
+
+
 def _take_digest(level, idx):
-    """level (..., k, 8), idx (...,) → (..., 8)."""
+    """Digest at natural index `idx`: level (..., k, 8) row-major, or a
+    bit-reversed planar (8, m, 128) level (hash/merkle.py PLANAR_MIN) whose
+    flat slot is bitrev(idx). idx (...,) → (..., 8)."""
+    from zkstark_tpu.hash import merkle
+
+    if merkle.is_planar(level):
+        k = merkle.level_size(level)
+        slot = _traced_bitrev(idx, k.bit_length() - 1)
+        flat = level.reshape(8, k)
+        out = jnp.take(flat, slot.astype(jnp.int32), axis=1)  # (8,) + idx shape
+        return jnp.moveaxis(out, 0, -1)
     return jnp.take_along_axis(level, idx[..., None, None].astype(jnp.int32), axis=-2)[
         ..., 0, :
     ]

@@ -36,11 +36,11 @@ from zkstark_tpu.protocol.proof import Proof
 from zkstark_tpu.transcript import Channel, bincode
 
 
-def _mont_scalar(v: int) -> np.uint32:
+def _mont_scalar(v: int, field: fp.Field = fp.FIELD101) -> np.uint32:
     # numpy scalar: embeds as a literal when closed over inside a trace (a
     # jnp scalar would be a device constant lowering must fetch back — slow
     # over a remote-device link)
-    return np.uint32(fp.host_to_mont(np.array([v % fp.P], np.uint32))[0])
+    return field.mont_scalar(v)
 
 
 # Domains up to this size get their protocol constants from exact host
@@ -81,19 +81,20 @@ def _composition_constants_host(cfg: StarkConfig):
     uint32 outputs bit-for-bit; u64 modular arithmetic is exact). Returns
     HOST numpy arrays — safe to cache (never tracers) and free to embed."""
     n, d, o = cfg.trace_domain, cfg.eval_domain, cfg.coset_offset
+    fld = cfg.field
     g = cfg.trace_generator
     h = cfg.domain_generator
-    p64 = np.uint64(fp.P)
+    p64 = np.uint64(fld.p)
 
-    xs_std = fp.host_powers_pow2(h, d, scale=o)  # the coset domain, residues
+    xs_std = fld.host_powers_pow2(h, d, scale=o)  # the coset domain, residues
     xs64 = xs_std.astype(np.uint64)
 
     inv_dens = []
     for con in cfg.constraints:
         if isinstance(con, air.Boundary):
-            point = np.uint64(pow(g, con.step, fp.P))
+            point = np.uint64(pow(g, con.step, fld.p))
             den = (xs64 + p64 - point) % p64
-            inv_dens.append(fp.host_to_mont(fp.host_inv_vec(den)))
+            inv_dens.append(fld.host_to_mont(fld.host_inv_vec(den)))
         else:
             # x^n − 1 over the coset, then ×(x − g^e) per exempt point
             xn = np.ones_like(xs64)
@@ -106,27 +107,28 @@ def _composition_constants_host(cfg: StarkConfig):
             num = (xn + p64 - np.uint64(1)) % p64
             den = np.ones_like(xs64)
             for ex in con.exempt:
-                ge = np.uint64(pow(g, ex, fp.P))
+                ge = np.uint64(pow(g, ex, fld.p))
                 den = (den * ((xs64 + p64 - ge) % p64)) % p64
-            inv = (den * fp.host_inv_vec(num).astype(np.uint64)) % p64
-            inv_dens.append(fp.host_to_mont(inv.astype(np.uint32)))
+            inv = (den * fld.host_inv_vec(num).astype(np.uint64)) % p64
+            inv_dens.append(fld.host_to_mont(inv.astype(np.uint32)))
 
     return {
-        "xs": fp.host_to_mont(xs_std),
+        "xs": fld.host_to_mont(xs_std),
         "inv_dens": tuple(inv_dens),
     }
 
 
 def _composition_constants_impl(cfg: StarkConfig):
     n, d, o = cfg.trace_domain, cfg.eval_domain, cfg.coset_offset
+    fld = cfg.field
     g = cfg.trace_generator
     h = cfg.domain_generator
 
     # powers_iota (not device_powers): each element depends only on its own
     # index, so the coset domain shards cleanly under GSPMD — this path is
     # exactly the >2^20 domains the sharded 2^24 runs hit.
-    xs = fp.powers_iota(h, d, scale=o)  # the coset domain
-    one = jnp.full((d,), jnp.uint32(fp.R_MOD_P))
+    xs = fp.powers_iota_f(fld, h, d, scale=o)  # the coset domain
+    one = jnp.full((d,), jnp.uint32(fld.r_mod_p))
 
     # One inverse-denominator vector per AIR constraint, in alpha order:
     #   Boundary(step, v):     1/(x − g^step)
@@ -135,17 +137,24 @@ def _composition_constants_impl(cfg: StarkConfig):
     inv_dens = []
     for con in cfg.constraints:
         if isinstance(con, air.Boundary):
-            point = jnp.broadcast_to(_mont_scalar(pow(g, con.step, fp.P)), (d,))
-            inv_dens.append(fp.inv(fp.sub(xs, point)))
+            point = jnp.broadcast_to(
+                _mont_scalar(pow(g, con.step, fld.p), fld), (d,)
+            )
+            inv_dens.append(fp.inv_f(fld, fp.sub_f(fld, xs, point)))
         else:
-            num = fp.sub(fp.pow_static(xs, n), one)
+            num = fp.sub_f(fld, fp.pow_static_f(fld, xs, n), one)
             den = one
             for e in con.exempt:
-                den = fp.mont_mul(
+                den = fp.mont_mul_f(
+                    fld,
                     den,
-                    fp.sub(xs, jnp.broadcast_to(_mont_scalar(pow(g, e, fp.P)), (d,))),
+                    fp.sub_f(
+                        fld,
+                        xs,
+                        jnp.broadcast_to(_mont_scalar(pow(g, e, fld.p), fld), (d,)),
+                    ),
                 )
-            inv_dens.append(fp.mont_mul(den, fp.inv(num)))
+            inv_dens.append(fp.mont_mul_f(fld, den, fp.inv_f(fld, num)))
 
     return {"xs": xs, "inv_dens": tuple(inv_dens)}
 
@@ -154,43 +163,49 @@ def fri_layer_constants(cfg: StarkConfig, layer: int):
     """Inverse first-half domain for the evaluation-form fold at `layer`.
 
     Layer-k domain is {offset^{2^k}·(h^{2^k})^j}; we need 1/x_j for j < m/2
-    plus the constant 1/2. Constant policy mirrors composition_constants:
-    cached HOST NUMPY ≤ 2^20 (free to embed at lowering, never a tracer),
-    in-trace powers_iota above (shardable, no giant module constants)."""
-    if cfg.eval_domain <= _HOST_CONST_MAX:
+    plus the constant 1/2. Constant policy mirrors composition_constants,
+    keyed on THIS LAYER's own size (not cfg.eval_domain — a big proof's late
+    FRI layers are tiny and take the host path): cached HOST NUMPY when the
+    layer's half-domain ≤ 2^20 (free to embed at lowering, never a tracer),
+    in-trace powers_iota above (shardable, no giant module constants). The
+    host builder's n ≥ 1 assert (host_powers_pow2) guards the d // 2 == 0
+    degenerate layer."""
+    if (cfg.eval_domain >> layer) // 2 <= _HOST_CONST_MAX:
         return _fri_layer_constants_host(cfg, layer)
     return _fri_layer_constants_impl(cfg, layer)
 
 
 @functools.lru_cache(maxsize=None)
 def _fri_layer_constants_host(cfg: StarkConfig, layer: int) -> np.ndarray:
+    fld = cfg.field
     d = cfg.eval_domain >> layer
-    base = pow(cfg.domain_generator, 1 << layer, fp.P)
-    off = pow(cfg.coset_offset, 1 << layer, fp.P)
-    inv_base = pow(base, fp.P - 2, fp.P)
-    inv_off = pow(off, fp.P - 2, fp.P)
-    return fp.host_to_mont(fp.host_powers_pow2(inv_base, d // 2, scale=inv_off))
+    base = pow(cfg.domain_generator, 1 << layer, fld.p)
+    off = pow(cfg.coset_offset, 1 << layer, fld.p)
+    inv_base = pow(base, fld.p - 2, fld.p)
+    inv_off = pow(off, fld.p - 2, fld.p)
+    return fld.host_to_mont(fld.host_powers_pow2(inv_base, d // 2, scale=inv_off))
 
 
 def _fri_layer_constants_impl(cfg: StarkConfig, layer: int):
+    fld = cfg.field
     d = cfg.eval_domain >> layer
-    base = pow(cfg.domain_generator, 1 << layer, fp.P)
-    off = pow(cfg.coset_offset, 1 << layer, fp.P)
-    inv_base = pow(base, fp.P - 2, fp.P)
-    inv_off = pow(off, fp.P - 2, fp.P)
+    base = pow(cfg.domain_generator, 1 << layer, fld.p)
+    off = pow(cfg.coset_offset, 1 << layer, fld.p)
+    inv_base = pow(base, fld.p - 2, fld.p)
+    inv_off = pow(off, fld.p - 2, fld.p)
     # powers_iota for GSPMD shardability (see _composition_constants_impl).
-    return fp.powers_iota(inv_base, d // 2, scale=inv_off)
+    return fp.powers_iota_f(fld, inv_base, d // 2, scale=inv_off)
 
 
-_INV2 = (fp.P + 1) // 2  # 1/2 in F_p
+_INV2 = (fp.P + 1) // 2  # 1/2 in the DEFAULT field (generic: (p+1)//2)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _phase1(cfg: StarkConfig, trace_mont):
     """Interpolate + LDE + leaf residues + Merkle levels, one XLA program."""
-    coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain)
-    f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset)
-    f_res = fp.from_mont(f_eval)
+    coeffs = air.interpolate_trace(trace_mont, cfg.trace_domain, cfg.field)
+    f_eval = ntt.coset_ntt(coeffs, cfg.eval_domain, cfg.coset_offset, cfg.field)
+    f_res = fp.from_mont_f(cfg.field, f_eval)
     levels = merkle.build_levels(f_res)
     return f_eval, f_res, levels
 
@@ -206,6 +221,7 @@ def composition_eval(cfg: StarkConfig, f_eval, alphas_mont):
     k·blowup lanes (g = h^blowup — why the reference opens x+8 and x+16,
     prover.rs:268-271)."""
     c = composition_constants(cfg)
+    fld = cfg.field
     b = cfg.blowup
     shifted = {
         k: f_eval if k == 0 else jnp.roll(f_eval, -k * b, axis=-1)
@@ -214,20 +230,24 @@ def composition_eval(cfg: StarkConfig, f_eval, alphas_mont):
     acc = None
     for i, (con, inv_den) in enumerate(zip(cfg.constraints, c["inv_dens"])):
         if isinstance(con, air.Boundary):
-            num = fp.sub(
-                shifted[0], jnp.broadcast_to(_mont_scalar(con.value), f_eval.shape)
+            num = fp.sub_f(
+                fld,
+                shifted[0],
+                jnp.broadcast_to(_mont_scalar(con.value, fld), f_eval.shape),
             )
         else:
-            num = con.numerator(air.DeviceOps, lambda k: shifted[k], c["xs"])
-        term = fp.mont_mul(fp.mont_mul(num, inv_den), alphas_mont[..., i : i + 1])
-        acc = term if acc is None else fp.add(acc, term)
+            num = con.numerator(air.device_ops(fld), lambda k: shifted[k], c["xs"])
+        term = fp.mont_mul_f(
+            fld, fp.mont_mul_f(fld, num, inv_den), alphas_mont[..., i : i + 1]
+        )
+        acc = term if acc is None else fp.add_f(fld, acc, term)
     return acc
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _phase2(cfg: StarkConfig, f_eval, alphas_mont):
     cp = composition_eval(cfg, f_eval, alphas_mont)
-    cp_res = fp.from_mont(cp)
+    cp_res = fp.from_mont_f(cfg.field, cp)
     levels = merkle.build_levels(cp_res)
     return cp, cp_res, levels
 
@@ -242,14 +262,15 @@ def fri_fold_eval(cfg: StarkConfig, layer: int, evals, beta_mont, build=None):
     Last axis = the layer domain; leading axes are batch proofs (beta_mont
     must then carry matching leading axes). `build` overrides the Merkle
     builder (the batched prover passes its leading-axis-aware twin)."""
+    fld = cfg.field
     inv_x = fri_layer_constants(cfg, layer)
     half = evals.shape[-1] // 2
     a, b = evals[..., :half], evals[..., half:]
-    inv2 = _mont_scalar(_INV2)
-    even = fp.mont_mul(fp.add(a, b), inv2)
-    odd = fp.mont_mul(fp.mont_mul(fp.sub(a, b), inv2), inv_x)
-    folded = fp.add(even, fp.mont_mul(odd, beta_mont))
-    res = fp.from_mont(folded)
+    inv2 = _mont_scalar((fld.p + 1) // 2, fld)
+    even = fp.mont_mul_f(fld, fp.add_f(fld, a, b), inv2)
+    odd = fp.mont_mul_f(fld, fp.mont_mul_f(fld, fp.sub_f(fld, a, b), inv2), inv_x)
+    folded = fp.add_f(fld, even, fp.mont_mul_f(fld, odd, beta_mont))
+    res = fp.from_mont_f(fld, folded)
     levels = (build or merkle.build_levels)(res)
     return folded, res, levels
 
@@ -375,13 +396,13 @@ def _decommit(cfg, channel, art, f_res_h, f_tree_h, layer_res_h, trees_h, querie
 
 
 def _trace_to_device(cfg: StarkConfig, secret: int):
-    trace = cfg.air.trace(cfg.trace_len, secret)
+    trace = cfg.air.trace(cfg.trace_len, secret, cfg.field.p)
     if int(trace[-1]) != cfg.boundary_last:
         raise ValueError(
             "witness does not satisfy the public boundary: trace endpoint "
             f"{int(trace[-1])} != {cfg.boundary_last}"
         )
-    return jnp.asarray(fp.host_to_mont(trace))
+    return jnp.asarray(cfg.field.host_to_mont(trace))
 
 
 class _PhaseClock:
@@ -449,17 +470,77 @@ def prove(
     # inside a CPU shard_map.
     import contextlib
 
-    ctx = (
-        jax.default_device(mesh.devices.flat[0])
-        if mesh is not None
-        else contextlib.nullcontext()
-    )
+    if mesh is not None:
+        # pin to this PROCESS's first device of the mesh (a multi-host mesh
+        # contains devices this process cannot address)
+        local = [
+            d for d in mesh.devices.flat if d.process_index == jax.process_index()
+        ]
+        ctx = jax.default_device(local[0] if local else mesh.devices.flat[0])
+    else:
+        ctx = contextlib.nullcontext()
     with ctx:
         return _prove_inner(cfg, secret, channel, art, fused, clock, mesh)
 
 
+def _finish_fused(cfg: StarkConfig, out_dev, channel=None, art=None) -> Proof:
+    """Fetch + host-replay + decommit one fused device result → Proof."""
+    from zkstark_tpu.protocol import fused as fused_mod
+
+    channel = channel or Channel()
+    art = art if art is not None else ProverArtifacts()
+    out = fused_mod.unpack_out(cfg, jax.device_get(out_dev))
+    queries = fused_replay(cfg, channel, out)
+    fused_decommit(cfg, channel, art, out, queries)
+    state, data = channel.finalize()
+    return Proof(state=state, data=data)
+
+
+def prove_pipelined(cfg: StarkConfig, secrets, depth: int = 2) -> list:
+    """Prove a SEQUENCE of witnesses with the device kept busy: up to
+    `depth` fused device programs stay in flight while the host fetches,
+    replays, and serializes earlier proofs.
+
+    Single-proof latency over a remote-device link is dominated by transfer
+    round trips (r4 profile: ~28 ms device compute inside a ~53 ms prove —
+    the h2d trace upload and d2h packed fetch are KBs but pay the tunnel's
+    RTT). JAX dispatch is asynchronous, so enqueueing proof i+1's program
+    BEFORE blocking on proof i's bytes hides those RTTs behind device
+    compute; steady-state per-proof latency approaches the device time.
+    Each proof's bytes are identical to a solo prove() (tested) — the
+    Fiat-Shamir chain runs on device, so no cross-proof dependency exists.
+
+    This is the latency twin of batch.prove_batch (which instead widens one
+    program; combine them for throughput × latency)."""
+    from zkstark_tpu.protocol import fused as fused_mod
+    from zkstark_tpu.runtime import warm_transfer_path
+
+    warm_transfer_path()
+    from collections import deque
+
+    pending = deque()
+    proofs = []
+    for s in secrets:
+        trace_mont = _trace_to_device(cfg, s)
+        pending.append(fused_mod.fused_core_packed(cfg, trace_mont, None))
+        if len(pending) > depth:
+            proofs.append(_finish_fused(cfg, pending.popleft()))
+    while pending:
+        proofs.append(_finish_fused(cfg, pending.popleft()))
+    return proofs
+
+
 def _prove_inner(cfg, secret, channel, art, fused, clock, mesh):
     trace_mont = _trace_to_device(cfg, secret)
+    if mesh is not None:
+        # a GLOBAL replicated array: on a multi-process mesh every process
+        # contributes its identical local copy (the standard multihost input
+        # path); on single-process meshes this is a no-op placement
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        trace_mont = jax.device_put(
+            trace_mont, NamedSharding(mesh, PartitionSpec())
+        )
     clock.lap("trace", block_on=trace_mont)
 
     if fused:
@@ -484,7 +565,7 @@ def _prove_inner(cfg, secret, channel, art, fused, clock, mesh):
 
     # Phase 2: composition (prover.rs:87-180)
     alphas = [channel.get_u32() for _ in range(cfg.n_constraints)]
-    alphas_mont = jnp.stack([_mont_scalar(a) for a in alphas])
+    alphas_mont = jnp.stack([_mont_scalar(a, cfg.field) for a in alphas])
     cp_eval, cp_res, cp_levels = _phase2(cfg, f_eval, alphas_mont)
     channel.commit_hash(_root_bytes(cp_levels))
     clock.lap("phase2_composition")
@@ -495,7 +576,9 @@ def _prove_inner(cfg, secret, channel, art, fused, clock, mesh):
     evals = cp_eval
     for layer in range(cfg.fri_rounds):
         beta = channel.get_u32()
-        evals, res, levels = _fri_fold(cfg, layer, evals, _mont_scalar(beta))
+        evals, res, levels = _fri_fold(
+            cfg, layer, evals, _mont_scalar(beta, cfg.field)
+        )
         layer_res.append(res)
         layer_trees.append(merkle.MerkleTree(levels=levels))
         channel.commit_hash(_root_bytes(levels))

@@ -43,13 +43,10 @@ class VerifyReport:
         self.checks_passed.append(name)
 
 
-def _inv(a: int) -> int:
-    return pow(a, fp.P - 2, fp.P)
-
-
 def verify(proof: Proof, cfg: StarkConfig = StarkConfig()) -> VerifyReport:
     report = VerifyReport()
-    p = fp.P
+    p = cfg.field.p
+    _inv = lambda a: pow(a % p, p - 2, p)  # noqa: E731
     rounds = cfg.fri_rounds
     shifts = cfg.air.shifts
     try:
@@ -90,7 +87,7 @@ def verify(proof: Proof, cfg: StarkConfig = StarkConfig()) -> VerifyReport:
     d = cfg.eval_domain
     h = cfg.domain_generator
     b = cfg.blowup
-    inv2 = _inv(2)
+    inv2 = _inv(2)  # (p+1)/2
 
     for q, (query_raw, (trace_open, fri_open)) in enumerate(
         zip(query_raws, per_query)

@@ -97,7 +97,7 @@ def draw_u32(state):
     return draw, absorb_u32_le(state, draw)
 
 
-def draw_to_mont(draw):
+def draw_to_mont(draw, field: fp.Field = fp.FIELD101):
     """Challenge u32 → Montgomery field element (reference From<u32>: value
     mod p). to_mont is a single REDC, valid for any uint32 input."""
-    return fp.to_mont(draw)
+    return fp.to_mont_f(field, draw)
